@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the engine's headline queries and prints one JSON line.
+
+Usage: python bench.py
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS   (default 32)
+
+Prints {"metric": ..., "value": <total sec>, "unit": "sec",
+        "queries": {name: sec, ...}, "sf": <dir>}.
+Each query is materialized via a count-style action (rows fully computed,
+nothing collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from product_data_pipelining_spark.registry import all_queries
+from product_data_pipelining_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline set: one per operator family, weighted toward the shapes that
+# dominate real workloads (scan-agg, star join, window, dedup, ANN, text)
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue",
+    "a03_percentile_summary",
+    "a11_share_of_group_window",
+    "s05_upsert_last_writer_wins",
+    "ev02_sessionize",
+    "dd01_exact_dedup",
+    "dd04_minhash_lsh_pairs",
+    "tx02_quality_score",
+    "sim01_ann_bruteforce_topk",
+    "mm02_decode_features",
+]
+
+
+def main() -> None:
+    specs = all_queries()
+    spark = get_spark(app_name="pdp-bench", cpus=CPUS)
+    # one warm-up action so JVM/codegen startup doesn't pollute query times
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

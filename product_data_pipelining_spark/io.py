@@ -1,0 +1,81 @@
+"""Table IO: scans over the driver-provided parquet star schema.
+
+Mirrors the reference's scan layer (DuckDB table scans,
+``/root/reference/portfolio_app/app.py:63-70``) with Spark parquet scans.
+Loads are lazy; Catalyst pushes filters/projections into the scan
+(``PushedFilters`` / ``ReadSchema`` in ``.explain``), which is the Spark
+analog of DuckDB's zone-map + projection pushdown.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one testdata table.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; it is read via :func:`load_events` instead.
+    """
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table with nano timestamps normalized to microsecond NTZ.
+
+    Parquet TIMESTAMP(NANOS, isAdjustedToUTC=false) predates Spark's type
+    system; the legacy conf reads the raw int64 nanos, which we truncate
+    to microseconds (integer division — the values exceed double
+    precision) and rebuild as TIMESTAMP_NTZ so semantics match engines
+    that read nanos natively (e.g. DuckDB after CAST(ts AS TIMESTAMP)).
+    ``ts_us`` (epoch microseconds) is kept for exact interval arithmetic.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
+            "ts",
+            F.convert_timezone(
+                None, F.lit("UTC"), F.timestamp_micros(F.col("ts_us"))
+            ),
+        )
+    else:  # a future driver may rewrite the file at micro precision
+        df = df.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All testdata tables as lazy DataFrames, keyed by name."""
+    return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works over it.
+
+    Equivalent of the reference's dbt source declarations
+    (``dbt_pipeline_demo/models/schema.yml:3-14``).
+    """
+    for t in TPCH_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,323 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+The scale path for a 100 TB corpus is always the same shape:
+fingerprint map-side → shuffle on the (small) fingerprint → resolve
+within buckets. Nothing here collects to the driver; candidate
+generation is banded LSH so the quadratic verify only runs inside tiny
+buckets.
+
+Cross-engine determinism: every hash is ``md5`` over an explicit string
+(identical hex in Spark and DuckDB), and min-hashes are lexicographic
+minima over those hex strings — so the DuckDB oracles reproduce the
+exact signatures. A production deployment would swap md5 for xxhash64
+(cheaper, JVM-intrinsic); the operator contract is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..functions.rounding import duck_round
+from ..registry import register
+from .textops import tokens
+
+NUM_MINHASH = 8  # k hash functions
+NUM_BANDS = 4  # r = k / bands = 2 rows per band
+JACCARD_THRESHOLD = 0.5
+
+# DuckDB-side shingle expression twins (kept adjacent to the Spark defs)
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram (word) shingles of a token array."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle s, shingle-set size nsh) — the dedup work table."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles(tokens()).alias("sh"))
+    return sh.select(
+        "doc_id", F.explode("sh").alias("s"), F.size("sh").alias("nsh")
+    )
+
+
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc with NUM_MINHASH lexicographic-min md5 columns.
+
+    Single explode + single groupBy: all k min-aggregates compute in one
+    shuffle with map-side partial mins, so the shuffle moves one row per
+    (doc, partition) regardless of document length.
+    """
+    ex = _exploded_shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
+        for j in range(NUM_MINHASH)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_signature() -> str:
+    mins = ",\n      ".join(
+        f"min(md5('{j}:' || s)) AS h{j}" for j in range(NUM_MINHASH)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM toks
+    )
+    SELECT doc_id,
+      {mins}
+    FROM sh GROUP BY doc_id
+    """
+
+
+@register(
+    "dd01_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_fp,
+           min(doc_id) AS canonical_doc_id,
+           count(*) AS copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint.
+
+    Canonical row = lowest doc_id per identical text. The classic
+    first-stage pass of every corpus pipeline; shuffles only
+    (hash, doc_id) pairs, never the text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("content_fp"), "doc_id")
+        .groupBy("content_fp")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("copies"))
+    )
+
+
+@register(
+    "dd02_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS nsh FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS shared,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(shared * 1.0 / (na + nb - shared), 4) AS jaccard
+    FROM pairs
+    WHERE shared * 1.0 / (na + nb - shared) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dd02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (exact, shingle-join candidate gen).
+
+    Docs sharing ≥1 shingle meet in the shuffle; Jaccard is
+    |∩| / (|A|+|B|−|∩|) over distinct shingles. Exact but quadratic in
+    bucket size — at 100 TB this runs *after* MinHash-LSH pruning
+    (dd04); standalone here to give the oracle-checkable exact answer.
+    """
+    ex = _exploded_shingles(spark, sf_dir)
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("a.nsh").alias("na"),
+            F.first("b.nsh").alias("nb"),
+        )
+    )
+    jacc = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return pairs.filter(jacc >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", duck_round(jacc, 4).alias("jaccard")
+    )
+
+
+@register("dd03_minhash_signatures", oracle=_sql_signature())
+def dd03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: k=8 lexicographic-min md5 sketches per doc."""
+    return minhash_signature(spark, sf_dir)
+
+
+def _sql_lsh_pairs() -> str:
+    band_case = " ".join(
+        f"WHEN {b} THEN md5(h{2 * b} || h{2 * b + 1})" for b in range(NUM_BANDS)
+    )
+    return f"""
+    WITH sig AS ({_sql_signature()}),
+    bands AS (
+      SELECT doc_id, b, CASE b {band_case} END AS band_key
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks),
+    ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS nsh FROM sh),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+      FROM cand c
+      JOIN ex a ON a.doc_id = c.doc_a
+      JOIN ex b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(shared * 1.0 / (na + nb - shared), 4) AS jaccard
+    FROM verified
+    WHERE shared * 1.0 / (na + nb - shared) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("dd04_minhash_lsh_pairs", oracle=_sql_lsh_pairs())
+def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection — the 100 TB dedup path.
+
+    shingle → minhash (k=8) → band (4 bands × 2 rows) → bucket-join →
+    exact-Jaccard verify of candidates only. For Jaccard j, candidate
+    recall is 1-(1-j²)⁴ (≈ 1.0 at j ≥ 0.9); the quadratic verify touches
+    only same-bucket pairs, so cost scales with bucket (not corpus) size.
+    """
+    sig = minhash_signature(spark, sf_dir)
+    band_cols = F.array(
+        *[
+            F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
+            for b in range(NUM_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_cols).alias("b", "band_key")
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ex = _exploded_shingles(spark, sf_dir)
+    a = ex.alias("a")
+    b = ex.alias("b")
+    verified = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.s") == F.col("a.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("a.nsh").alias("na"),
+            F.first("b.nsh").alias("nb"),
+        )
+    )
+    jacc = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return verified.filter(jacc >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", duck_round(jacc, 4).alias("jaccard")
+    )
+
+
+def _sql_simhash() -> str:
+    # per (token, bit) weight: hex nibble of md5(token) at char b//4,
+    # bit (3 - b%4) within the nibble; +1/-1 votes summed per doc.
+    return """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, b.b AS b,
+             ((strpos('0123456789abcdef',
+                      substr(md5(tok), CAST(1 + (b.b // 4) AS INT), 1)) - 1)
+              >> CAST(3 - (b.b % 4) AS INT)) & 1 AS bit
+      FROM toks CROSS JOIN (SELECT unnest(range(16)) AS b) b
+    ), votes AS (
+      SELECT doc_id, b, SUM(2 * bit - 1) AS vote FROM bits GROUP BY doc_id, b
+    ), sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote >= 0
+                           THEN CAST(power(2, b) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS simhash16
+      FROM votes GROUP BY doc_id
+    )
+    SELECT doc_id, simhash16,
+           COUNT(*) OVER (PARTITION BY simhash16) AS bucket_size
+    FROM sig
+    """
+
+
+@register("dd05_simhash_signatures", oracle=_sql_simhash())
+def dd05_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) signatures + bucket sizes.
+
+    Each token votes ±1 on every bit of its md5-derived nibble pattern;
+    the sign of the summed vote is the signature bit. Near-identical docs
+    land in the same bucket (bucket_size > 1 ⇒ near-dup cluster). One
+    explode + one groupBy with 16 map-side-partial sums; the production
+    variant widens to 64 bits via xxhash64.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    tok = tok.withColumn("h", F.md5("tok"))
+    votes = [
+        F.sum(
+            2
+            * (
+                F.shiftright(
+                    F.expr(
+                        f"locate(substring(h, {1 + b // 4}, 1), '0123456789abcdef')"
+                    )
+                    - 1,
+                    3 - (b % 4),
+                ).bitwiseAND(F.lit(1))
+            )
+            - 1
+        ).alias(f"v{b}")
+        for b in range(16)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*votes)
+    sim = sum(
+        F.when(F.col(f"v{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
+        for b in range(16)
+    )
+    sig = per_doc.select("doc_id", sim.cast("long").alias("simhash16"))
+    from pyspark.sql import Window
+
+    return sig.select(
+        "doc_id",
+        "simhash16",
+        F.count("*").over(Window.partitionBy("simhash16")).alias("bucket_size"),
+    )

@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through Spark as ``BinaryType`` columns with a
+metadata struct alongside; decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas functions over ``mapInPandas``.
+The decode step itself is STUBBED (no image/audio libs in this
+container): ``decode_image`` raises ``NotImplementedError``, and
+``fake_decode_features`` is a deterministic stand-in that exercises the
+real Spark-side plumbing — schema, partitioning, UDF signature, and
+Arrow batch shape — end to end.
+
+The testdata has no binary column, so the document text bytes act as
+the payload (``CAST(text AS BLOB)``), which also lets the metadata path
+carry a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "mm01_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS byte_len,
+           md5(text) AS content_md5,
+           upper(hex(CAST(substr(text, 1, 8) AS BLOB))) AS header_hex,
+           CASE WHEN octet_length(CAST(text AS BLOB)) >= 256
+                THEN 'large' ELSE 'small' END AS size_class
+    FROM documents
+    """,
+)
+def mm01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction (JVM-side, no decode needed).
+
+    The cheap pass every multimodal pipeline runs first: byte length,
+    content hash, magic-bytes header, size bucketing — all computable
+    without touching a decoder, so it stays in whole-stage codegen and
+    filters most of 100 TB before any Python runs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("byte_len"),
+        F.md5("text").alias("content_md5"),
+        F.upper(F.hex(F.substring("text", 1, 8).cast("binary"))).alias("header_hex"),
+        F.when(F.octet_length(payload) >= 256, F.lit("large"))
+        .otherwise(F.lit("small"))
+        .alias("size_class"),
+    )
+
+
+FAKE_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("feature_checksum", LongType()),
+    ]
+)
+
+
+def make_fake_decoder() -> "callable":
+    """Deterministic stand-in decoder over Arrow batches.
+
+    Returns a nested function so cloudpickle serializes it BY VALUE:
+    executors then don't need this package on their PYTHONPATH. (On a
+    real cluster you'd ship the package via ``--py-files``/pip and a
+    module-level function would be fine; by-value keeps the smoke
+    path self-contained.)
+
+    Mirrors a real decoder's contract exactly — consumes (doc_id,
+    payload bytes) batches, emits a typed feature frame — but derives
+    "image" properties arithmetically from the bytes so results are
+    reproducible without codec libraries. Swap the body for
+    PIL/torchvision/ffmpeg in production; nothing else changes.
+    """
+
+    def fake_decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            byte_len = pdf["payload"].map(len)
+            checksum = pdf["payload"].map(lambda b: int(sum(b)))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": byte_len.astype("int32"),
+                    "width": (byte_len % 256).astype("int32"),
+                    "height": ((byte_len // 256) % 256 + 1).astype("int32"),
+                    "n_frames": (byte_len % 7 + 1).astype("int32"),
+                    "feature_checksum": checksum.astype("int64"),
+                }
+            )
+
+    return fake_decode_batches
+
+
+def decode_image(payload: bytes) -> object:
+    """Real image decode — unavailable in this container by design."""
+    raise NotImplementedError(
+        "image decoding requires PIL/torchvision which are not installed; "
+        "use make_fake_decoder() for plumbing tests"
+    )
+
+
+@register("mm02_decode_features", oracle=None)  # arithmetic-on-bytes: not SQL-expressible
+def mm02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over ``mapInPandas`` (Arrow batch path).
+
+    The pattern for anything per-payload Python at scale: binary column
+    in, typed feature columns out, executed per Arrow batch with zero
+    driver involvement. Deterministic fake decode (see
+    ``make_fake_decoder``); rows-only correctness check.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return payloads.mapInPandas(make_fake_decoder(), schema=FAKE_DECODE_SCHEMA)

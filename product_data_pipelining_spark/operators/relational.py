@@ -1,0 +1,895 @@
+"""Relational operator surface (SURVEY.md §2.1-§2.8) on the testdata schema.
+
+Every operator the reference executes — staging filters/projections
+(``dbt_pipeline_demo/models/staging/*.sql``), derived columns, safe casts,
+JSON extraction, the star-schema joins (``models/marts/fact_prices.sql``),
+the mart aggregations (``models/marts/mart_*.sql``) and the seven dashboard
+queries (``portfolio_app/app.py:81-439``) — re-expressed Spark-first over
+the TPC-H-ish testdata tables. The Spark plan is declared with the
+DataFrame API and left to Catalyst; the DuckDB oracle SQL in each
+``register(...)`` call is the semantic contract.
+
+Parity rules (SURVEY.md §2.9): float aggregates rounded identically on
+both sides; exact (not approximate) distinct counts and percentiles;
+temporal outputs cast to DATE or formatted; orderings are presentational
+(driver compares order-insensitively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..functions.rounding import (
+    det_avg,
+    det_avg_raw,
+    det_sum,
+    duck_round,
+    sql_det_avg,
+    sql_det_avg_raw,
+    sql_det_sum,
+)
+from ..registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / derived columns  (P1-P11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p01_projection_notnull_filter",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_custkey IS NOT NULL AND c_acctbal IS NOT NULL
+    """,
+)
+def p01_projection_notnull_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: column-select passthrough + not-null conjunct filter.
+
+    Reference: ``models/staging/stg_locations.sql:1-13`` (project 10 cols,
+    ``location_id IS NOT NULL AND latitude IS NOT NULL``).
+    Scale note: both the projection and the filter reach the parquet scan
+    (column pruning + predicate pushdown) — no shuffle at any SF.
+    """
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal").filter(
+        F.col("c_custkey").isNotNull() & F.col("c_acctbal").isNotNull()
+    )
+
+
+@register(
+    "p03_positive_price_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_extendedprice > 0 AND l_quantity > 30
+    """,
+)
+def p03_positive_price_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: positive-value predicate filter.
+
+    Reference: ``models/staging/stg_prices.sql:21`` (``regular_price > 0``).
+    Pushed to the scan as a parquet row-group filter.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_extendedprice").filter(
+        (F.col("l_extendedprice") > 0) & (F.col("l_quantity") > 30)
+    )
+
+
+@register(
+    "p04_p05_derived_discount_columns",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      l_extendedprice AS regular_price,
+      CASE WHEN l_discount > 0
+           THEN ROUND(l_extendedprice * (1 - l_discount), 2) END AS promo_price,
+      ROUND(l_extendedprice
+            - COALESCE(CASE WHEN l_discount > 0
+                            THEN ROUND(l_extendedprice * (1 - l_discount), 2) END,
+                       l_extendedprice), 2) AS discount_amount,
+      CASE WHEN l_discount > 0
+           THEN ROUND(l_discount * 100, 2) ELSE 0 END AS discount_pct
+    FROM lineitem
+    """,
+)
+def p04_p05_derived_discount_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5: derived arithmetic + COALESCE + CASE WHEN + ROUND.
+
+    Reference: ``models/staging/stg_prices.sql:8-11`` — ``discount_amount =
+    regular_price - COALESCE(promo_price, regular_price)``; ``discount_pct``
+    clamps to 0 when there is no discount. All narrow (per-row) ops: stays
+    inside one whole-stage-codegen span, no shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    promo = F.when(
+        F.col("l_discount") > 0,
+        duck_round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("regular_price"),
+        promo.alias("promo_price"),
+        duck_round(
+            F.col("l_extendedprice") - F.coalesce(promo, F.col("l_extendedprice")), 2
+        ).alias("discount_amount"),
+        F.when(F.col("l_discount") > 0, duck_round(F.col("l_discount") * 100, 2))
+        .otherwise(F.lit(0.0))
+        .alias("discount_pct"),
+    )
+
+
+@register(
+    "p06_try_cast_safe_date",
+    oracle="""
+    SELECT
+      event_id,
+      strftime(TRY_CAST(CASE WHEN event_id % 10 = 0 THEN 'not-a-date'
+                             ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+                        END AS DATE), '%Y-%m-%d') AS safe_date
+    FROM events
+    """,
+)
+def p06_try_cast_safe_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: TRY_CAST — null on parse failure, never an error.
+
+    Reference: ``models/staging/stg_prices.sql:12-13``
+    (``TRY_CAST(effective_date AS DATE)``). A synthetic dirty column (every
+    10th row unparseable) exercises the null-on-failure path. Output
+    re-formatted to an ISO string for engine-neutral comparison.
+    """
+    ev = _t(spark, sf_dir, "events")
+    dirty = F.when(F.col("event_id") % 10 == 0, F.lit("not-a-date")).otherwise(
+        F.date_format("ts", "yyyy-MM-dd")
+    )
+    return ev.select(
+        "event_id",
+        F.date_format(dirty.try_cast("date"), "yyyy-MM-dd").alias("safe_date"),
+    )
+
+
+@register(
+    "p07_json_extract",
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k') AS k_value
+    FROM events
+    """,
+)
+def p07_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: JSON path extraction from a serialized-JSON string column.
+
+    Reference: ``models/staging/stg_products.sql:5``
+    (``json_extract_string(categories, '$[0]')``).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", F.get_json_object("props", "$.k").alias("k_value"))
+
+
+@register(
+    "p10_date_range_predicate",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date,
+           l_extendedprice
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+      AND l_extendedprice > 0
+    """,
+)
+def p10_date_range_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: BETWEEN date-range predicate + positive-price conjunct.
+
+    Reference: ``portfolio_app/app.py:84-102`` (Q1-2026 window on
+    ``effective_date`` with ``regular_price > 0``). At scale this is the
+    predicate a date-partitioned table would prune on.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    ship = F.col("l_shipdate").cast("date")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format(ship, "yyyy-MM-dd").alias("ship_date"),
+        "l_extendedprice",
+    ).filter(ship.between(F.lit("1995-01-01").cast("date"), F.lit("1995-03-31").cast("date")) & (F.col("l_extendedprice") > 0))
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j01_left_join_star_enrich",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+           p.p_brand, p.p_type, s.s_name
+    FROM lineitem l
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def j01_left_join_star_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact LEFT JOIN two dimensions — fact rows never dropped.
+
+    Reference: ``models/marts/fact_prices.sql:22-24`` (stg_prices LEFT JOIN
+    dim_products LEFT JOIN dim_locations). Part/supplier are small relative
+    to lineitem at every SF → Catalyst broadcast-hash-joins both (verified
+    via ``.explain``); the 100 TB plan is two broadcast joins, zero
+    fact-side shuffles.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left")
+        .select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "p_brand", "p_type", "s_name"
+        )
+    )
+
+
+@register(
+    "j02_inner_join_agg_cte",
+    oracle=f"""
+    WITH per_nation AS (
+      SELECT c_nationkey,
+             COUNT(*) AS customer_count,
+             {sql_det_avg("c_acctbal")} AS avg_acctbal
+      FROM customer
+      GROUP BY c_nationkey
+    )
+    SELECT n.n_name AS nation, pn.customer_count, pn.avg_acctbal
+    FROM nation n
+    JOIN per_nation pn ON n.n_nationkey = pn.c_nationkey
+    """,
+)
+def j02_inner_join_agg_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: INNER join of a dimension to an aggregated CTE.
+
+    Reference: ``models/marts/mart_location_sales.sql:23-24``
+    (dim_locations JOIN location_fulfillment USING location_id).
+    Aggregate first, then join the (much smaller) result to the dim —
+    the agg output is broadcast-sized at any SF.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("customer_count"),
+        det_avg("c_acctbal").alias("avg_acctbal"),
+    )
+    return (
+        F.broadcast(nat)
+        .join(per_nation, nat.n_nationkey == per_nation.c_nationkey, "inner")
+        .select(F.col("n_name").alias("nation"), "customer_count", "avg_acctbal")
+    )
+
+
+@register(
+    "j03_left_join_recover_attr",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS order_count,
+             {sql_det_sum("o_totalprice")} AS total_spend
+      FROM orders
+      GROUP BY o_custkey
+    )
+    SELECT pc.o_custkey AS custkey, pc.order_count, pc.total_spend,
+           c.c_mktsegment AS mktsegment
+    FROM per_cust pc
+    LEFT JOIN customer c ON pc.o_custkey = c.c_custkey
+    """,
+)
+def j03_left_join_recover_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: LEFT join a mart back to a dimension to recover an attribute.
+
+    Reference: ``portfolio_app/app.py:159-169`` (mart_location_sales LEFT
+    JOIN dim_locations to recover ``zip_code``).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("order_count"),
+        det_sum("o_totalprice").alias("total_spend"),
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey, "left")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "order_count",
+            "total_spend",
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A13)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a01_group_distinct_avg",
+    oracle=f"""
+    SELECT p.p_brand AS brand,
+           COUNT(DISTINCT l.l_partkey) AS product_count,
+           {sql_det_avg("l.l_extendedprice")} AS avg_regular_price,
+           {sql_det_avg("CASE WHEN l.l_discount > 0 THEN l.l_extendedprice * (1 - l.l_discount) END")}
+             AS avg_promo_price
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def a01_group_distinct_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: GROUP BY + exact COUNT DISTINCT + AVG (null-ignoring) + ROUND.
+
+    Reference: ``models/marts/mart_category_distribution.sql:1-9``.
+    Exact distinct (not approx_count_distinct) per SURVEY §2.9. The
+    distinct forces a two-phase agg; partial aggregation still runs
+    map-side for the plain AVGs.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.countDistinct("l_partkey").alias("product_count"),
+        det_avg("l_extendedprice").alias("avg_regular_price"),
+        det_avg(
+            F.when(
+                F.col("l_discount") > 0,
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            )
+        ).alias("avg_promo_price"),
+    )
+
+
+@register(
+    "a02_conditional_distinct_counts",
+    oracle=f"""
+    SELECT l_suppkey AS suppkey,
+           COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_orderkey END)
+             AS returned_orders,
+           COUNT(DISTINCT CASE WHEN l_linestatus = 'F' THEN l_orderkey END)
+             AS finished_orders,
+           COUNT(DISTINCT l_orderkey) AS total_orders,
+           {sql_det_avg("l_extendedprice")} AS avg_price
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def a02_conditional_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: COUNT(DISTINCT CASE WHEN ...) — null else-branch is uncounted.
+
+    Reference: ``models/marts/mart_location_sales.sql:1-10`` (physical vs
+    online product counts per location). ``F.when`` without ``otherwise``
+    yields null, which ``countDistinct`` ignores — identical to SQL CASE.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_orderkey"))
+        ).alias("returned_orders"),
+        F.countDistinct(
+            F.when(F.col("l_linestatus") == "F", F.col("l_orderkey"))
+        ).alias("finished_orders"),
+        F.countDistinct("l_orderkey").alias("total_orders"),
+        det_avg("l_extendedprice").alias("avg_price"),
+    )
+
+
+@register(
+    "a03_percentile_summary",
+    oracle=f"""
+    SELECT l_returnflag AS returnflag,
+           strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date,
+           {sql_det_avg("l_extendedprice")} AS avg_price,
+           {sql_det_avg("COALESCE(l_extendedprice * (1 - l_discount), l_extendedprice)")} AS avg_effective_price,
+           COUNT(DISTINCT l_partkey) AS product_count,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+    """,
+)
+def a03_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: multi-key GROUP BY + five-number summary with EXACT percentiles.
+
+    Reference: ``models/marts/mart_price_by_category.sql:1-16`` —
+    ``PERCENTILE_CONT(0.25/0.5/0.75) WITHIN GROUP``. Uses Spark's exact
+    interpolated ``percentile`` (never ``percentile_approx``) to match
+    DuckDB's ``quantile_cont`` (SURVEY §2.9 hardest parity point).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias(
+            "ship_date"
+        ),
+    ).agg(
+        det_avg("l_extendedprice").alias("avg_price"),
+        det_avg(
+            F.coalesce(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                F.col("l_extendedprice"),
+            )
+        ).alias("avg_effective_price"),
+        F.countDistinct("l_partkey").alias("product_count"),
+        duck_round(F.min("l_extendedprice"), 2).alias("min_price"),
+        duck_round(F.max("l_extendedprice"), 2).alias("max_price"),
+        duck_round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25"),
+        duck_round(F.percentile("l_extendedprice", F.lit(0.50)), 2).alias("p50"),
+        duck_round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75"),
+    )
+
+
+@register(
+    "a04_group_having_order",
+    oracle=f"""
+    SELECT p_brand AS brand,
+           {sql_det_avg("p_retailprice")} AS avg_retail,
+           COUNT(*) AS n
+    FROM part
+    GROUP BY p_brand
+    HAVING COUNT(*) >= 5
+    """,
+)
+def a04_group_having_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: GROUP BY + HAVING + ORDER BY aggregate.
+
+    Reference: ``portfolio_app/app.py:335-345`` (HAVING COUNT(*) >= 5,
+    ORDER BY avg desc). HAVING is a post-agg filter — in Spark a
+    ``.filter`` on the agg output; sort is presentational.
+    """
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            det_avg("p_retailprice").alias("avg_retail"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 5)
+        .orderBy(F.desc("avg_retail"))
+    )
+
+
+@register(
+    "a05_a06_filtered_avg_conditional_count",
+    oracle=f"""
+    SELECT l_returnflag AS returnflag,
+           {sql_det_avg("CASE WHEN l_discount > 0 THEN l_discount * 100 END", 4)}
+             AS avg_discount_pct_when_discounted,
+           COUNT(CASE WHEN l_discount > 0 AND l_tax > 0 THEN 1 END)
+             AS discounted_taxed_count,
+           COUNT(*) AS total_count
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a05_a06_filtered_avg_conditional_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A5/A6: AVG over CASE→NULL (filtered average) + conditional COUNT.
+
+    Reference: ``portfolio_app/app.py:387-390``. AVG ignores the NULL
+    else-branch; COUNT(CASE...) counts only matching rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        det_avg(
+            F.when(F.col("l_discount") > 0, F.col("l_discount") * 100), 4
+        ).alias("avg_discount_pct_when_discounted"),
+        F.count(
+            F.when((F.col("l_discount") > 0) & (F.col("l_tax") > 0), F.lit(1))
+        ).alias("discounted_taxed_count"),
+        F.count("*").alias("total_count"),
+    )
+
+
+@register(
+    "a07_two_key_frequency",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a07_two_key_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: two-key frequency count (GROUP BY k1, k2 / COUNT(*)).
+
+    Reference: ``portfolio_app/app.py:265-270`` (category × stock_level).
+    Low-cardinality keys → partial aggregation collapses nearly all rows
+    map-side; the shuffle moves only (k1,k2,count) triples.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "a08_global_minmax",
+    oracle="""
+    SELECT strftime(CAST(MIN(o_orderdate) AS DATE), '%Y-%m-%d') AS min_date,
+           strftime(CAST(MAX(o_orderdate) AS DATE), '%Y-%m-%d') AS max_date
+    FROM orders
+    """,
+)
+def a08_global_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: global MIN/MAX (no grouping).
+
+    Reference: ``portfolio_app/app.py:103-106``. Spark answers this from
+    parquet footer statistics when aggregate pushdown applies; otherwise a
+    single-stage partial/final agg with one row shuffled per partition.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.date_format(F.min(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias(
+            "min_date"
+        ),
+        F.date_format(F.max(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias(
+            "max_date"
+        ),
+    )
+
+
+@register(
+    "a09_regroup_sum",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS order_count,
+             {sql_det_avg_raw("o_totalprice")} AS avg_price
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment AS mktsegment,
+           {sql_det_avg("pc.avg_price")} AS avg_avg_price,
+           CAST(SUM(pc.order_count) AS BIGINT) AS total_orders
+    FROM per_cust pc
+    JOIN customer c ON pc.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def a09_regroup_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: re-aggregation of a pre-aggregated mart (avg-of-avg + sum).
+
+    Reference: ``portfolio_app/app.py:149-156`` (per-state rollup of
+    mart_location_sales). Mirrors the reference's two-level aggregate
+    exactly — including the avg-of-avgs semantics.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("order_count"),
+        det_avg_raw("o_totalprice").alias("avg_price"),
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey, "inner")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            det_avg("avg_price").alias("avg_avg_price"),
+            F.sum("order_count").alias("total_orders"),
+        )
+    )
+
+
+@register(
+    "a10_distinct_dedup",
+    oracle="SELECT DISTINCT p_brand, p_type FROM part",
+)
+def a10_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: SELECT DISTINCT projection.
+
+    Reference: ``models/marts/dim_products.sql:1-7``. A shuffle on the
+    full projected row; at scale prefer dropDuplicates on the true key.
+    """
+    part = _t(spark, sf_dir, "part")
+    return part.select("p_brand", "p_type").distinct()
+
+
+@register(
+    "a11_share_of_group_window",
+    oracle="""
+    WITH counts AS (
+      SELECT p_brand, p_type, COUNT(*) AS n
+      FROM part GROUP BY p_brand, p_type
+    )
+    SELECT p_brand AS brand, p_type AS ptype, n,
+           ROUND(n * 100.0 / SUM(n) OVER (PARTITION BY p_brand), 4) AS pct_of_brand
+    FROM counts
+    """,
+)
+def a11_share_of_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: share-of-group via an unbounded partition window aggregate.
+
+    Reference: ``portfolio_app/app.py:285`` (pandas
+    ``groupby(...).transform('sum')`` percent-of-category), re-expressed as
+    ``SUM(n) OVER (PARTITION BY ...)`` — the window reuses the groupBy's
+    hash partitioning on p_brand, so no second shuffle.
+    """
+    part = _t(spark, sf_dir, "part")
+    counts = part.groupBy("p_brand", "p_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("p_brand")
+    return counts.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("ptype"),
+        "n",
+        duck_round(F.col("n") * 100.0 / F.sum("n").over(w), 4).alias("pct_of_brand"),
+    )
+
+
+@register(
+    "a12_a13_median_by_group",
+    oracle="""
+    SELECT p_brand AS brand,
+           ROUND(median(p_retailprice), 2) AS median_retail,
+           COUNT(*) AS n
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def a12_a13_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/A13: exact median per group (chart ordering / reference lines).
+
+    Reference: ``portfolio_app/app.py:119-124,432-435`` (pandas medians).
+    ``F.median`` is the exact interpolated percentile(0.5), matching
+    DuckDB ``median`` on DOUBLE.
+    """
+    part = _t(spark, sf_dir, "part")
+    return part.groupBy(F.col("p_brand").alias("brand")).agg(
+        duck_round(F.median("p_retailprice"), 2).alias("median_retail"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / sorts (§2.6, §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set01_union_shared_range",
+    oracle="""
+    SELECT ROUND(MIN(v), 2) AS min_value, ROUND(MAX(v), 2) AS max_value,
+           COUNT(*) AS n
+    FROM (
+      SELECT l_extendedprice AS v FROM lineitem
+      UNION ALL
+      SELECT o_totalprice AS v FROM orders
+    )
+    """,
+)
+def set01_union_shared_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: UNION ALL of two value columns + global min/max.
+
+    Reference: ``portfolio_app/app.py:181-185`` (pd.concat of two price
+    columns for a shared color range). ``unionAll`` is a zero-shuffle
+    concatenation of partitions.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("v"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("v"))
+    return li.unionAll(o).agg(
+        duck_round(F.min("v"), 2).alias("min_value"),
+        duck_round(F.max("v"), 2).alias("max_value"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "o01_multi_key_sort",
+    oracle=f"""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           {sql_det_sum("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def o01_multi_key_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: multi-key ORDER BY over an aggregate (presentational).
+
+    Reference: ``models/marts/mart_price_by_category.sql:16``
+    (``ORDER BY effective_date, category``). Materialized order is not
+    preserved by parquet (SURVEY §2.9) — comparison is order-insensitive.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(det_sum("l_quantity").alias("sum_qty"))
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style headline queries (flagship + bench anchors)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_det_sum("l_quantity")} AS sum_qty,
+           {sql_det_sum("l_extendedprice")} AS sum_base_price,
+           {sql_det_sum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {sql_det_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}
+             AS sum_charge,
+           {sql_det_avg("l_quantity", 4)} AS avg_qty,
+           {sql_det_avg("l_extendedprice", 4)} AS avg_price,
+           {sql_det_avg("l_discount", 4)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1 pricing summary — scan-heavy partial-agg shape.
+
+    The canonical "does partial aggregation work" query: billions of rows
+    collapse to a handful of groups map-side; the shuffle moves only
+    per-partition partials. One wide scan, one exchange, no joins.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            det_sum("l_quantity").alias("sum_qty"),
+            det_sum("l_extendedprice").alias("sum_base_price"),
+            det_sum(disc_price).alias("sum_disc_price"),
+            det_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            det_avg("l_quantity", 4).alias("avg_qty"),
+            det_avg("l_extendedprice", 4).alias("avg_price"),
+            det_avg("l_discount", 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_det_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d'),
+             o.o_orderpriority
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join chain → grouped revenue.
+
+    The segment filter prunes customer before the join (Catalyst pushes
+    it below); filtered customer and orders stay far below the broadcast
+    threshold relative to lineitem, so the big side never shuffles.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1995-03-15").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1995-03-15").cast("date")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey, "inner")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy(
+            "l_orderkey",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+                "orderdate"
+            ),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            det_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate", "orderpriority")
+    )
+
+
+@register(
+    "tpch_q5_regional_revenue",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           {sql_det_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           COUNT(DISTINCT o.o_orderkey) AS order_count
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-table star join rolled up to region/nation.
+
+    Region, nation, customer broadcast; orders⋈lineitem is the one real
+    shuffle (both sides large at scale) — co-partitioning/bucketing on
+    orderkey is the 100 TB optimization, and AQE handles orderkey skew.
+    """
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    enriched_cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(enriched_cust), o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            det_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("order_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics (batch analogs of the streaming surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev01_windowed_counts",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_det_sum("value")} AS total_value
+    FROM events
+    GROUP BY 1, event_type
+    """,
+)
+def ev01_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event counts (batch analog of the streaming agg).
+
+    The streaming twin (readStream + watermark + F.window) lives in
+    ``streaming/sessionize.py``; semantics on closed windows are identical.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        det_sum("value").alias("total_value"),
+    )

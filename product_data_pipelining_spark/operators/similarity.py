@@ -1,0 +1,253 @@
+"""Similarity search over the ``embeddings`` table (array<float> vectors).
+
+Brute-force cosine top-k is the exactness baseline; the sign-LSH
+bucketed variant is the scale path (candidates only meet inside a
+bucket, so the join fans out by bucket occupancy instead of corpus
+size). All arithmetic is JVM-side higher-order functions
+(``transform`` / ``zip_with`` / ``aggregate``) — no Python in the loop.
+
+Determinism for the DuckDB oracle: both engines cast float32 elements
+to double *before* multiplying and sum left-to-right, and similarities
+are rounded before ranking, with vec_id as the tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..functions.rounding import duck_round
+from ..registry import register
+
+TOP_K = 10
+QUERY_STRIDE = 50  # vec_id % 50 == 0 rows act as the query set
+NEARDUP_COSINE = 0.4
+LSH_BITS = 4  # sign bits of the first 4 dims form the bucket
+
+
+def _dbl(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_dbl(a), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return dot(a, b) / (norm_a * norm_b)
+
+
+# DuckDB twins — identical element order and double casts
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_SQL_NORM = (
+    "sqrt(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+)
+
+
+def _with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "embedding", "label", norm(F.col("embedding")).alias("nrm")
+    )
+
+
+@register(
+    "sim01_ann_bruteforce_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             {_SQL_NORM.format(a="embedding")} AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id % {QUERY_STRIDE} = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_SQL_DOT.format(a="q.embedding", b="c.embedding")}
+                   / (q.nrm * c.nrm), 4) AS cosine_sim
+      FROM q JOIN v c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def sim01_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — the exact ANN baseline.
+
+    The query set (one per {QUERY_STRIDE} vectors) is broadcast against
+    the full corpus; ranking is a per-query window. At 100 TB the corpus
+    side stays partitioned and only the (tiny) query side replicates —
+    the canonical "broadcast the small side of a similarity join" plan.
+    """
+    v = _with_norm(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            duck_round(
+                cosine(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")),
+                4,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _sql_bucket(prefix: str) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {prefix}embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(LSH_BITS)
+    )
+    return f"({bits})"
+
+
+@register(
+    "sim02_ann_lsh_bucketed",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             {_SQL_NORM.format(a="embedding")} AS nrm,
+             {_sql_bucket("")} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id % {QUERY_STRIDE} = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+             ROUND({_SQL_DOT.format(a="q.embedding", b="c.embedding")}
+                   / (q.nrm * c.nrm), 4) AS cosine_sim
+      FROM q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, bucket, cosine_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def sim02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN — the scale path.
+
+    Bucket key = sign bits of the first {LSH_BITS} dimensions (an
+    IVF-/LSH-style coarse quantizer with fixed, data-independent
+    hyperplanes, so both engines agree exactly). Candidates are only
+    same-bucket vectors: the similarity join becomes an equi-join on the
+    bucket key that Spark hash-partitions — no crossproduct anywhere.
+    Production tuning: more bits + multi-probe for recall.
+    """
+    v = _with_norm(spark, sf_dir)
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(LSH_BITS)
+        ]
+    )
+    v = v.withColumn("bucket", bucket)
+    q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        v.join(
+            q,
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            duck_round(
+                cosine(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")),
+                4,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "bucket", "cosine_sim", "rank")
+    )
+
+
+@register(
+    "sim03_embedding_neardup_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             {_SQL_NORM.format(a="embedding")} AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+                 / (a.nrm * b.nrm), 4) AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+          / (a.nrm * b.nrm) >= {NEARDUP_COSINE}
+    """,
+)
+def sim03_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline).
+
+    The correctness reference for semantic dedup. Quadratic by design —
+    at 100 TB run sim02's bucketing first and this verify only within
+    buckets (same pattern as dd04 for text).
+    """
+    v = _with_norm(spark, sf_dir)
+    a = v.alias("a")
+    b = v.alias("b")
+    sim = cosine(
+        F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(sim >= NEARDUP_COSINE)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            duck_round(sim, 4).alias("cosine_sim"),
+        )
+    )

@@ -1,0 +1,214 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data pipeline surface (beyond the reference's own
+operators): token counting, quality scoring, language identification,
+and document fingerprinting. All hot-path logic is built-in
+``pyspark.sql.functions`` (JVM-side, whole-stage-codegen) — no Python
+UDFs — so the per-row cost is the same on 500 docs or 100 TB of them.
+
+Cross-engine determinism notes (these queries carry DuckDB oracles):
+- ``md5`` produces identical hex in Spark and DuckDB → fingerprints match.
+- Tokenization is a literal single-space split + empty-token filter, the
+  one split semantics both engines agree on exactly.
+- Ratios are rounded to fixed decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..functions.rounding import duck_round
+from ..registry import register
+
+# fixed marker vocabularies for the deterministic n-gram/stopword language
+# scorer; chosen from the corpus vocabulary — the scoring mechanics (not
+# linguistic accuracy) are what the operator contract specifies.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast"),
+    "de": ("row", "key", "batch"),
+    "fr": ("scan", "data", "query"),
+    "es": ("slow", "agg", "merge"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is")
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokens with empties removed (exact cross-engine split)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+def marker_score(toks: Column, markers: tuple[str, ...]) -> Column:
+    """Count of tokens that appear in a fixed marker vocabulary."""
+    return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+
+def _sql_tokens(expr: str = "text") -> str:
+    """DuckDB-side twin of :func:`tokens`."""
+    return f"list_filter(string_split({expr}, ' '), x -> x <> '')"
+
+
+def _sql_marker_score(toks_expr: str, markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({toks_expr}, x -> x IN ({inlist})))"
+
+
+@register(
+    "tx01_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           n_chars,
+           len({_sql_tokens()}) AS word_count,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_token_estimate
+    FROM documents
+    """,
+)
+def tx01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace word count + BPE-ish length estimate.
+
+    The chars/4 heuristic is the standard BPE budget approximation used
+    for context-length accounting in training pipelines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens()).alias("word_count"),
+        F.ceil(F.col("n_chars") / 4.0).alias("bpe_token_estimate"),
+    )
+
+
+@register(
+    "tx02_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang, n_chars,
+             len({_sql_tokens()}) AS word_count,
+             {_sql_marker_score(_sql_tokens(), STOPWORDS)} AS stopword_count
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, word_count,
+           ROUND(CAST(stopword_count AS DOUBLE) / word_count, 4) AS stopword_ratio,
+           ROUND(CAST(n_chars AS DOUBLE) / word_count, 4) AS avg_word_len,
+           CASE WHEN word_count BETWEEN 20 AND 1000
+                 AND CAST(stopword_count AS DOUBLE) / word_count
+                     BETWEEN 0.01 AND 0.5
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM feats
+    """,
+)
+def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword-ratio gates (C4/Gopher-style rules).
+
+    Documents outside the [20, 1000]-word band or with an implausible
+    stopword ratio are flagged; the same rule family the reference's
+    null-gating plays at ingest (``main_pipeline.py:379-380``), scaled to
+    corpus curation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("word_count"),
+        marker_score(toks, STOPWORDS).alias("stopword_count"),
+    )
+    stop_ratio = F.col("stopword_count").cast("double") / F.col("word_count")
+    return feats.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "word_count",
+        duck_round(stop_ratio, 4).alias("stopword_ratio"),
+        duck_round(F.col("n_chars").cast("double") / F.col("word_count"), 4).alias(
+            "avg_word_len"
+        ),
+        F.when(
+            F.col("word_count").between(20, 1000) & stop_ratio.between(0.01, 0.5),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("passes_quality"),
+    )
+
+
+@register(
+    "tx03_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_sql_marker_score(_sql_tokens(), LANG_MARKERS["en"])} AS s_en,
+             {_sql_marker_score(_sql_tokens(), LANG_MARKERS["de"])} AS s_de,
+             {_sql_marker_score(_sql_tokens(), LANG_MARKERS["fr"])} AS s_fr,
+             {_sql_marker_score(_sql_tokens(), LANG_MARKERS["es"])} AS s_es
+      FROM documents
+    )
+    SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM scored
+    """,
+)
+def tx03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID: marker-vocabulary scoring with a deterministic argmax.
+
+    An n-gram-frequency heuristic classifier: score each language by
+    marker-token hits, break ties in a fixed language order. Pure
+    columnar expressions — at 100 TB this is a single narrow map stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        marker_score(toks, LANG_MARKERS["en"]).alias("s_en"),
+        marker_score(toks, LANG_MARKERS["de"]).alias("s_de"),
+        marker_score(toks, LANG_MARKERS["fr"]).alias("s_fr"),
+        marker_score(toks, LANG_MARKERS["es"]).alias("s_es"),
+    )
+    s_en, s_de, s_fr, s_es = (F.col(c) for c in ("s_en", "s_de", "s_fr", "s_es"))
+    predicted = (
+        F.when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), F.lit("en"))
+        .when((s_de >= s_fr) & (s_de >= s_es), F.lit("de"))
+        .when(s_fr >= s_es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return scored.select(
+        "doc_id", "lang", "s_en", "s_de", "s_fr", "s_es", predicted.alias("predicted_lang")
+    )
+
+
+@register(
+    "tx04_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_fp,
+           md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS bow_fp,
+           substr(md5(text), 1, 8) AS shard_key
+    FROM documents
+    """,
+)
+def tx04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content hash + order-insensitive BoW hash.
+
+    ``content_fp`` is the exact-dup key; ``bow_fp`` (sorted distinct
+    tokens re-joined then hashed) catches token-order shuffles — the
+    rolling-hash family's cheap cousin, fully expressible JVM-side.
+    ``shard_key`` is the uniform partitioner a 100 TB dedup would
+    repartition on.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bow = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens())))
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_fp"),
+        F.md5(bow).alias("bow_fp"),
+        F.substring(F.md5("text"), 1, 8).alias("shard_key"),
+    )

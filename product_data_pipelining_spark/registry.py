@@ -1,0 +1,63 @@
+"""Query registry: every engine operator exposed as a named query.
+
+Each entry pairs a Spark implementation ``(spark, sf_dir) -> DataFrame``
+with (where SQL-expressible) an equivalent ANSI/DuckDB oracle SQL string
+over the same parquet tables. The driver's correctness gate runs both and
+hash-compares (row-count + schema + order-insensitive value hash), so:
+
+- every computed column is aliased identically on both sides;
+- floating aggregates are rounded identically on both sides (summation
+  order differs between engines; rounding makes the comparison stable);
+- output row order is irrelevant (driver sorts before hashing).
+
+Operator IDs in query names refer to SURVEY.md §2's inventory of the
+reference repo's operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB-runnable SQL; None → rows-only check
+    doc: str
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    """Import all operator modules (populating the registry) and return it."""
+    # imports are deferred so importing `registry` alone stays cheap
+    from .operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        textops,
+        upsert,
+    )
+    from .streaming import sessionize  # noqa: F401
+
+    return dict(_REGISTRY)

@@ -1,0 +1,85 @@
+"""Driver-style oracle parity: every registered query vs its DuckDB SQL.
+
+Mimics the driver's correctness gate: run the Spark query and the oracle
+SQL on the same parquet tables, sort columns by name, sort rows, compare
+values. Floats must match to high precision (both sides round inside the
+query, so residual differences indicate a real semantics gap).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from product_data_pipelining_spark.registry import all_queries
+
+QUERIES = all_queries()
+ORACLE_CASES = [name for name, spec in QUERIES.items() if spec.oracle is not None]
+ROWS_ONLY_CASES = [name for name, spec in QUERIES.items() if spec.oracle is None]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize cell values, sort rows."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].map(_canon)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _canon(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if pd.isna(v):
+        return "<null>"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return f"{int(v)}"
+        return f"{v:.9g}"
+    if hasattr(v, "isoformat"):  # date/datetime
+        return v.isoformat()
+    return str(v)
+
+
+def _kinds(df: pd.DataFrame) -> list[str]:
+    """dtype kind per column, sorted by column name (i=int, f=float, ...)."""
+    return [df[c].dtype.kind for c in sorted(df.columns)]
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_parity(name, spark, ddb, sf_dir):
+    spec = QUERIES[name]
+    got_raw = spec.fn(spark, sf_dir).toPandas()
+    want_raw = ddb.execute(spec.oracle).df()
+    got_raw_kinds, want_raw_kinds = _kinds(got_raw), _kinds(want_raw)
+    got = normalize(got_raw)
+    want = normalize(want_raw)
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns differ: {list(got.columns)} vs {list(want.columns)}"
+    )
+    kinds_got = [df_kind for df_kind in got_raw_kinds]
+    kinds_want = [df_kind for df_kind in want_raw_kinds]
+    assert kinds_got == kinds_want, (
+        f"{name}: dtype kinds differ (spark vs duck): "
+        f"{list(zip(sorted(got.columns), kinds_got, kinds_want))}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    mism = (got != want).any(axis=1)
+    if mism.any():
+        idx = mism[mism].index[:5]
+        detail = "\n".join(
+            f"  spark={got.loc[i].to_dict()}\n  duck ={want.loc[i].to_dict()}"
+            for i in idx
+        )
+        raise AssertionError(
+            f"{name}: {int(mism.sum())}/{len(got)} rows mismatch:\n{detail}"
+        )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+def test_rows_only_queries_run(name, spark, sf_dir):
+    spec = QUERIES[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
