@@ -28,16 +28,58 @@ TPCH_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# below this input size a repartition buys nothing for scan-light queries —
+# compute-heavy operators pass force=True instead
+_MIN_HEAL_BYTES = 1024 * 1024
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def parallelize_scan(df: DataFrame, force: bool = False) -> DataFrame:
+    """Heal degenerate scan parallelism.
+
+    Parquet splits at row-group boundaries; a file written as one big row
+    group (or a directory of a few small files) scans as 1-3 partitions
+    no matter how many cores exist, serializing all downstream compute.
+    When the scan has fewer partitions than the cluster's parallelism,
+    add a round-robin repartition. Filters and column pruning still reach
+    the scan (Catalyst pushes them through Repartition — verified via
+    ``PushedFilters`` in the physical plan).
+
+    At production scale this is a no-op: a 100 TB table scans as
+    thousands of splits, which already exceeds ``defaultParallelism``.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if not force:
+        try:
+            size = sum(
+                os.path.getsize(f.removeprefix("file:"))
+                for f in df.inputFiles()
+            )
+        except OSError:  # non-local storage — let the caller force if needed
+            return df
+        if size < _MIN_HEAL_BYTES:
+            return df
+    return df.repartition(target)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, heal: bool = False
+) -> DataFrame:
     """Lazy parquet scan of one testdata table.
+
+    ``heal=True`` (or wrapping with :func:`parallelize_scan`) is for
+    compute-bound consumers only: at small SF the round-robin shuffle
+    costs more than the parallelism buys for scan-light aggregations.
 
     ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's vectorized
     reader rejects; it is read via :func:`load_events` instead.
     """
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return parallelize_scan(df) if heal else df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

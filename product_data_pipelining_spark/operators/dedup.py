@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, parallelize_scan
 from ..functions.rounding import duck_round
 from ..registry import register
 from .textops import tokens
@@ -36,20 +36,33 @@ _SQL_SHINGLES = (
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct n-gram (word) shingles of a token array."""
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(grams)
+    """Distinct n-gram (word) shingles of a token array.
+
+    Built by zipping the array with its shifted slices rather than
+    indexing inside a ``transform`` lambda: higher-order functions are
+    not whole-stage-codegen'd, so an ``element_at(toks, i+j)`` lambda
+    re-evaluates the underlying ``split()`` child once per element —
+    O(len²) per document. ``zip_with`` evaluates each array argument
+    once per row and zips element-wise, keeping shingling linear.
+    """
+    # slice length must not overflow start+length int32 math — size() is
+    # always enough to take "the rest of the array"
+    grams = toks
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, F.size(toks)),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    # zip_with pads the shorter side with null; concat_ws skips nulls, so
+    # the trailing entries are partial (<n)-grams — cut to the full ones.
+    full = F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(full)
 
 
 def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle s, shingle-set size nsh) — the dedup work table."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), force=True)
     sh = docs.select("doc_id", shingles(tokens()).alias("sh"))
     return sh.select(
         "doc_id", F.explode("sh").alias("s"), F.size("sh").alias("nsh")
@@ -205,12 +218,23 @@ def _sql_lsh_pairs() -> str:
 def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup detection — the 100 TB dedup path.
 
-    shingle → minhash (k=8) → band (4 bands × 2 rows) → bucket-join →
+    shingle → minhash (k=8) → band (4 bands × 2 rows) → bucket pairs →
     exact-Jaccard verify of candidates only. For Jaccard j, candidate
     recall is 1-(1-j²)⁴ (≈ 1.0 at j ≥ 0.9); the quadratic verify touches
     only same-bucket pairs, so cost scales with bucket (not corpus) size.
+
+    Each expensive subtree computes exactly once:
+
+    - the signature table (tiny — k hashes/doc) is persisted; at corpus
+      scale this is the stage you'd write to parquet between jobs;
+    - candidate pairs come from ``collect_list`` per band bucket +
+      higher-order in-bucket pairing — no self-join, so the signature
+      pipeline isn't re-derived for each side;
+    - the verify joins per-doc shingle *arrays* (persisted, computed
+      once) and intersects JVM-side (``array_intersect``) instead of
+      re-exploding shingles into a join+groupBy.
     """
-    sig = minhash_signature(spark, sf_dir)
+    sig = minhash_signature(spark, sf_dir).persist()
     band_cols = F.array(
         *[
             F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
@@ -220,29 +244,38 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.posexplode(band_cols).alias("b", "band_key")
     )
-    x = bands.alias("x")
-    y = bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.b") == F.col("y.b"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+    buckets = (
+        bands.groupBy("b", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    in_bucket_pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    )
+    cand = (
+        buckets.select(F.explode(in_bucket_pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    ex = _exploded_shingles(spark, sf_dir)
-    a = ex.alias("a")
-    b = ex.alias("b")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), force=True)
+    sh_arr = docs.select("doc_id", shingles(tokens()).alias("sh")).persist()
+    a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     verified = (
-        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
-        .join(b, (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.s") == F.col("a.s")))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count("*").alias("shared"),
-            F.first("a.nsh").alias("na"),
-            F.first("b.nsh").alias("nb"),
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sha", "shb")).alias("shared"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
         )
     )
     jacc = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
@@ -289,7 +322,7 @@ def dd05_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + one groupBy with 16 map-side-partial sums; the production
     variant widens to 64 bits via xxhash64.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), force=True)
     tok = docs.select("doc_id", F.explode(tokens()).alias("tok"))
     tok = tok.withColumn("h", F.md5("tok"))
     votes = [

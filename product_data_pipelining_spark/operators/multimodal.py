@@ -29,7 +29,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..io import load_table
+from ..io import load_table, parallelize_scan
 from ..registry import register
 
 
