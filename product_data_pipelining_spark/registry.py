@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """Import all operator modules (populating the registry) and return it."""
     # imports are deferred so importing `registry` alone stays cheap
     from .models import pipeline_queries  # noqa: F401
+    from .sources import payload_queries  # noqa: F401
     from .operators import (  # noqa: F401
         dedup,
         multimodal,

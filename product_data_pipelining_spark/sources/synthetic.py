@@ -200,6 +200,122 @@ _PRICE_SCHEMA = pa.schema(
 )
 
 
+def gen_location_payloads(rng: random.Random, n: int) -> list[dict]:
+    """Nested location payloads incl. duplicate ids across 'zip queries'
+    (first-seen dedup fodder), missing address/geolocation structs, and
+    ~2% missing locationId (gate fodder)."""
+    out = []
+    ids: list[str] = []
+    for seq in range(n):
+        if ids and rng.random() < 0.25:  # re-fetch of an already-seen store
+            lid = rng.choice(ids)
+            name = f"DUPE SHOULD LOSE #{seq}"
+        else:
+            lid = f"{20000000 + seq:08d}"
+            ids.append(lid)
+            name = f"Store {seq}"
+        loc: dict = {"locationId": None if rng.random() < 0.02 else lid,
+                     "name": name,
+                     "chain": rng.choice(CHAINS)}
+        if rng.random() >= 0.08:  # some payloads lack the address struct
+            loc["address"] = {
+                "addressLine1": f"{seq} Market St",
+                "city": f"City{seq % 23}",
+                "state": STATES[seq % len(STATES)],
+                "zipCode": f"{60000 + seq % 997:05d}",
+            }
+            if rng.random() < 0.1:
+                del loc["address"]["zipCode"]
+        if rng.random() >= 0.06:
+            loc["geolocation"] = {
+                "latitude": round(rng.uniform(25, 48), 6),
+                "longitude": round(rng.uniform(-124, -71), 6),
+            }
+        out.append({"fetch_seq": seq, "location": loc})
+    return out
+
+
+def gen_product_payloads(rng: random.Random, n: int) -> list[dict]:
+    """Nested product payloads with every S7/S8 edge: missing productId,
+    empty/missing items, missing price.regular, dateValueModel variants,
+    missing fulfillment/inventory/categories."""
+    out = []
+    for seq in range(n):
+        prod: dict = {}
+        if rng.random() >= 0.015:
+            prod["productId"] = f"{2000000000000 + seq % 450:013d}"
+        prod["description"] = f"Payload product {seq}"
+        if rng.random() >= 0.1:
+            prod["brand"] = f"Brand{seq % 19}"
+        r = rng.random()
+        if r < 0.05:
+            pass  # categories key absent entirely
+        elif r < 0.1:
+            prod["categories"] = []
+        else:
+            prod["categories"] = rng.sample(CATEGORIES, rng.choice([1, 1, 2]))
+        if rng.random() >= 0.05:  # some payloads have no items at all
+            item: dict = {"itemId": f"{seq:013d}", "size": rng.choice(["1 gal", "12 oz"])}
+            if rng.random() >= 0.08:  # some items lack the price struct
+                price: dict = {}
+                if rng.random() >= 0.1:  # some lack regular (gate: no row)
+                    price["regular"] = rng.randint(50, 6000) / 100
+                if rng.random() < 0.45:
+                    price["promo"] = rng.randint(25, 5000) / 100
+                d = rng.random()
+                if d < 0.7:
+                    price["effectiveDate"] = {
+                        "value": f"2026-0{rng.randint(1, 3)}-{rng.randint(1, 28):02d}",
+                        "timezone": "America/New_York",
+                    }
+                elif d < 0.8:  # dateValueModel without a value field
+                    price["effectiveDate"] = {"timezone": "UTC"}
+                if rng.random() < 0.5:
+                    price["expirationDate"] = {"value": "2026-06-30"}
+                item["price"] = price
+            if rng.random() >= 0.07:
+                item["fulfillment"] = {
+                    "curbside": rng.random() < 0.6,
+                    "delivery": rng.random() < 0.5,
+                    "instore": rng.random() < 0.7,
+                    "shiptohome": rng.random() < 0.3,
+                }
+            if rng.random() >= 0.1:
+                item["inventory"] = {"stockLevel": rng.choice(STOCK_LEVELS)}
+            # a second item that must be IGNORED (reference takes items[0])
+            items = [item]
+            if rng.random() < 0.15:
+                items.append({"itemId": "IGNORED", "price": {"regular": 1.0}})
+            prod["items"] = items
+        out.append(
+            {
+                "fetch_seq": seq,
+                "location_id": f"{20000000 + seq % 40:08d}",
+                "product": prod,
+            }
+        )
+    return out
+
+
+def write_payload_fixtures(
+    out_dir: str, seed: int = 77, n_locations: int = 90, n_products: int = 600
+) -> dict[str, str]:
+    """Write the nested JSONL payload fixtures (ingest replay inputs)."""
+    rng = random.Random(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+    for name, rows in [
+        ("locations_payload", gen_location_payloads(rng, n_locations)),
+        ("products_payload", gen_product_payloads(rng, n_products)),
+    ]:
+        path = os.path.join(out_dir, f"{name}.jsonl")
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        paths[name] = path
+    return paths
+
+
 def write_raw_tables(
     out_dir: str, seed: int = 42, n_locations: int = 60, n_products: int = 400, n_prices: int = 4000
 ) -> dict[str, str]:

@@ -1,0 +1,111 @@
+"""Pipeline-level tests: schema checks, materializing runner, ingest replay."""
+
+from __future__ import annotations
+
+import pytest
+
+from product_data_pipelining_spark.checks.schema_checks import (
+    SCHEMA_CHECKS,
+    run_schema_checks,
+)
+from product_data_pipelining_spark.models.pipeline_queries import ensure_fixtures
+from product_data_pipelining_spark.models.runner import (
+    build_models,
+    dashboard_queries,
+    load_raw,
+    run_pipeline,
+)
+from product_data_pipelining_spark.sources.ingest import (
+    RestClient,
+    flatten_locations,
+    flatten_prices,
+    flatten_products,
+    read_location_payloads,
+    read_product_payloads,
+)
+from product_data_pipelining_spark.sources.payload_queries import (
+    ensure_payload_fixtures,
+)
+
+
+@pytest.fixture(scope="module")
+def models(spark):
+    return build_models(load_raw(spark, ensure_fixtures()))
+
+
+def test_all_16_schema_checks_pass(models):
+    results = run_schema_checks(models)
+    assert len(results) == len(SCHEMA_CHECKS) == 16
+    failed = [r for r in results if not r.passed]
+    assert not failed, f"schema checks failed: {failed}"
+
+
+def test_schema_checks_catch_violations(spark):
+    bad = spark.createDataFrame(
+        [("a",), ("a",), (None,)], "location_id: string"
+    )
+    from product_data_pipelining_spark.checks.schema_checks import (
+        not_null_violations,
+        unique_violations,
+    )
+
+    assert unique_violations(bad, "location_id") == 1
+    assert not_null_violations(bad, "location_id") == 1
+
+
+def test_run_pipeline_materializes_and_rereads(spark, tmp_path):
+    out = str(tmp_path / "warehouse")
+    m = run_pipeline(spark, ensure_fixtures(), out_dir=out)
+    # marts were written and re-read: scanning parquet, not recomputing joins
+    assert (tmp_path / "warehouse" / "fact_prices").exists()
+    assert m["fact_prices"].count() > 0
+    assert m["mart_category_distribution"].count() > 0
+    # lazy and materialized runs agree
+    lazy = build_models(load_raw(spark, ensure_fixtures()))
+    assert (
+        m["mart_category_distribution"].count()
+        == lazy["mart_category_distribution"].count()
+    )
+
+
+def test_dashboard_queries_run(models):
+    res = dashboard_queries(models)
+    assert set(res) >= {
+        "price_distribution_q1",
+        "state_price_summary",
+        "location_map",
+        "stock_status_mix",
+        "discount_depth",
+        "category_value_map",
+    }
+    for name, df in res.items():
+        assert df.count() >= 0, name
+
+
+def test_rest_client_replay_roundtrip(spark):
+    fdir = ensure_payload_fixtures()
+    client = RestClient(replay_dir=fdir)
+    token = client.get_access_token()
+    loc_payloads = client.fetch_location_payloads(token)
+    prod_payloads = client.fetch_product_payloads(token, [])
+    assert len(loc_payloads) > 0 and len(prod_payloads) > 0
+    # the replayed payloads are exactly what the Spark readers see
+    locs = flatten_locations(read_location_payloads(spark, f"{fdir}/locations_payload.jsonl"))
+    ids = {r["location_id"] for r in locs.select("location_id").collect()}
+    seen = [p["location"].get("locationId") for p in loc_payloads]
+    assert ids == {i for i in seen if i}
+    # first-seen wins: no row carries a later-fetch dupe name
+    assert locs.filter(locs.name.startswith("DUPE SHOULD LOSE")).count() == 0
+
+
+def test_flatten_price_gates(spark):
+    fdir = ensure_payload_fixtures()
+    payloads = read_product_payloads(spark, f"{fdir}/products_payload.jsonl")
+    prices = flatten_prices(payloads)
+    # S8: every surviving row has a product id and a regular price
+    assert prices.filter(prices.product_id.isNull()).count() == 0
+    assert prices.filter(prices.regular_price.isNull()).count() == 0
+    # items[1:] ignored (reference takes items[0] only)
+    assert prices.filter(prices.item_id == "IGNORED").count() == 0
+    prods = flatten_products(payloads)
+    assert prods.filter(prods.categories.isNull()).count() == 0
