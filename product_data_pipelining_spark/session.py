@@ -58,6 +58,9 @@ def get_spark(
         # ANSI off: the reference (DuckDB via dbt) uses null-on-overflow /
         # null-on-bad-cast semantics (TRY_CAST), matching non-ANSI Spark.
         .config("spark.sql.ansi.enabled", "false")
+        # deterministic timestamp semantics everywhere (streaming event
+        # time, window boundaries) regardless of host timezone
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -1,0 +1,146 @@
+"""Structured Streaming tests: replay events parquet through a file
+source with availableNow, land in a memory sink, compare to the batch
+twins (same semantics on closed windows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from product_data_pipelining_spark.io import load_events
+from product_data_pipelining_spark.streaming.sessionize import (
+    SESSION_GAP_SECONDS,
+    ev02_sessionize,
+    streaming_sessionize,
+    streaming_windowed_counts,
+)
+from product_data_pipelining_spark.streaming.stateful import (
+    stateful_sessionize,
+    streaming_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-landed as micro-precision parquet (stream-source input)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    # watermarks need TIMESTAMP (tz-aware); session tz is pinned to UTC so
+    # the NTZ → TIMESTAMP cast preserves wall-clock values
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"), "value",
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _stream_source(spark, replay_dir):
+    schema = spark.read.parquet(replay_dir).schema
+    return spark.readStream.schema(schema).parquet(replay_dir)
+
+
+def test_streaming_windowed_counts_match_batch(spark, replay_dir):
+    src = _stream_source(spark, replay_dir)
+    got = _run_stream(spark, streaming_windowed_counts(src), "win_counts")
+    batch = spark.read.parquet(replay_dir)
+    # append mode emits a window only once the watermark (max ts − 1h)
+    # passes its end; the final windows stay open at end-of-input
+    import datetime
+
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=1)
+    want = (
+        batch.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("window.end") <= F.lit(horizon))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    g = {(r["window_start"], r["event_type"]): r["n"] for r in got.collect()}
+    w = {(r["window_start"], r["event_type"]): r["n"] for r in want.collect()}
+    assert w, "horizon filtered everything — fixture too small"
+    assert g == w
+
+
+def test_streaming_sessionize_matches_batch_sessions(spark, sf_dir, replay_dir):
+    import datetime
+
+    src = _stream_source(spark, replay_dir)
+    got = _run_stream(spark, streaming_sessionize(src), "sessions")
+    batch = ev02_sessionize(spark, sf_dir)
+    max_ts = spark.read.parquet(replay_dir).agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=1)
+    # append emits a session once the watermark passes its window end
+    # (= last event + gap); later sessions remain open at end-of-input
+    fmt = "%Y-%m-%d %H:%M:%S"
+
+    def _parse(s):
+        return datetime.datetime.strptime(s[: len("2026-01-01 00:00:00")], fmt)
+
+    b = {
+        (r["user_id"], r["session_start"][: len("2026-01-01 00:00:00")],
+         r["n_events"], r["total_value"])
+        for r in batch.collect()
+        if _parse(r["session_end"]) + datetime.timedelta(seconds=SESSION_GAP_SECONDS)
+        <= horizon
+    }
+    gs = {
+        (r["user_id"], r["session_start"].strftime(fmt), r["n_events"], r["total_value"])
+        for r in got.collect()
+    }
+    assert b, "horizon filtered everything — fixture too small"
+    assert gs == b
+
+
+def test_stateful_sessionize_emits_closed_sessions(spark, sf_dir, replay_dir):
+    src = _stream_source(spark, replay_dir).select("user_id", "ts", "value")
+    got = _run_stream(spark, stateful_sessionize(src), "stateful_sessions")
+    batch = ev02_sessionize(spark, sf_dir)
+    per_user_batch = {
+        r["user_id"]: r["n"] for r in batch.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    per_user_got = {
+        r["user_id"]: r["n"] for r in got.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    # single availableNow batch: every session except each user's last
+    # (still open in state) is emitted
+    assert per_user_got, "no sessions emitted"
+    for user, n_batch in per_user_batch.items():
+        assert per_user_got.get(user, 0) == n_batch - 1, user
+    # emitted session aggregates agree with the batch oracle
+    b = {
+        (r["user_id"], r["session_start"][: len("2026-01-01 00:00:00")], r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    g = {
+        (
+            r["user_id"],
+            r["session_start"].strftime("%Y-%m-%d %H:%M:%S"),
+            r["n_events"],
+            round(r["total_value"], 2),
+        )
+        for r in got.collect()
+    }
+    assert g <= b
+
+
+def test_streaming_dedup_bounded_state(spark, replay_dir):
+    src = _stream_source(spark, replay_dir)
+    # duplicate the stream by unioning it with itself, then dedup on event_id
+    doubled = src.union(src)
+    got = _run_stream(
+        spark, streaming_dedup(doubled, ["event_id"]), "dedup_stream"
+    )
+    n_unique = spark.read.parquet(replay_dir).select("event_id").distinct().count()
+    assert got.count() == n_unique
