@@ -61,7 +61,10 @@ _SQL_NORM = (
 
 
 def _with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # the pair joins downstream do O(pairs × dim) arithmetic — without
+    # the heal a single-row-group corpus file serializes all of it on
+    # one core (34s vs 3.4s for the all-pairs verify at sf0.1)
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), force=True)
     return emb.select(
         "vec_id", "embedding", "label", norm(F.col("embedding")).alias("nrm")
     )
