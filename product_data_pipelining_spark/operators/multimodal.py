@@ -136,3 +136,80 @@ def mm02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
     return payloads.mapInPandas(make_fake_decoder(), schema=FAKE_DECODE_SCHEMA)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize — unavailable in this container by design."""
+    raise NotImplementedError(
+        "image resize requires PIL/opencv which are not installed; "
+        "make_fake_frame_sampler() exercises the same plumbing"
+    )
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset", IntegerType()),
+        StructField("frame_len", IntegerType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+MAX_SAMPLED_FRAMES = 3
+
+
+def make_fake_frame_sampler() -> "callable":
+    """Deterministic frame-sampling stand-in (video/audio path).
+
+    One input payload row fans out to ≤ MAX_SAMPLED_FRAMES output rows —
+    the batch-shape contract of real frame sampling (ffmpeg keyframe
+    extraction, audio windowing): Arrow batch in, *more* rows out, typed
+    per-frame columns. Frames are equal byte-stride slices with a
+    byte-sum checksum, so results are reproducible without codecs.
+    Nested function → cloudpickle by value (see make_fake_decoder).
+    """
+
+    def sample_frames(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = len(b) % 7 + 1  # same fake property as mm02
+                k = min(MAX_SAMPLED_FRAMES, n_frames)
+                stride = max(1, len(b) // k)
+                for i in range(k):
+                    off = i * stride
+                    chunk = b[off : off + stride]
+                    rows.append(
+                        (int(doc_id), i, off, len(chunk), int(sum(chunk)))
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "frame_offset",
+                    "frame_len", "frame_checksum",
+                ],
+            )
+
+    return sample_frames
+
+
+@register("mm03_frame_sample", oracle=None)  # byte-slice arithmetic: not SQL-expressible
+def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over ``mapInPandas``: 1 payload row → N frame rows.
+
+    The row-fanning half of the multimodal contract (mm02 is 1→1
+    feature extraction). Rows-only correctness check here; the
+    deterministic per-frame values are unit-tested against a pure-Python
+    recompute in tests/test_pipeline.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return payloads.mapInPandas(
+        make_fake_frame_sampler(), schema=FRAME_SAMPLE_SCHEMA
+    )

@@ -212,3 +212,75 @@ def tx04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(bow).alias("bow_fp"),
         F.substring(F.md5("text"), 1, 8).alias("shard_key"),
     )
+
+
+K_GRAM = 3
+WINNOW_WINDOW = 4
+
+
+def positional_grams(toks: Column, n: int = K_GRAM) -> Column:
+    """Positional (non-distinct) word n-grams — winnowing's input.
+
+    Same zip-with-shifted-slices construction as dedup.shingles (linear;
+    HOF-safe), but keeps duplicates and positions: winnowing needs the
+    gram sequence, not the gram set.
+    """
+    grams = toks
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, F.size(toks)),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+
+
+@register(
+    "tx05_winnow_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_sql_tokens()} AS t FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 1),
+                            i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS hs
+      FROM toks
+    ), wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(hs) - {WINNOW_WINDOW - 2}),
+               i -> list_min(hs[i:i+{WINNOW_WINDOW - 1}]))) AS fps
+      FROM g
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM wins
+    """,
+)
+def tx05_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS-style rolling selection).
+
+    k-gram hash sequence → sliding-window (w={WINNOW_WINDOW}) minimum →
+    distinct selected hashes per document. Guarantees any shared
+    substring of ≥ w+k-1 tokens yields a shared fingerprint, at ~2/(w+1)
+    of the k-gram density — the standard local-fingerprint dedup
+    primitive. Window minima are built from w shifted array zips
+    (``least``), so the whole operator is one narrow map stage: no
+    explode-shuffle until the final per-fingerprint grouping a consumer
+    adds.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    grams = positional_grams(toks)
+    hs = F.transform(grams, lambda g: F.md5(g))
+    mins = hs
+    for j in range(1, WINNOW_WINDOW):
+        mins = F.zip_with(
+            mins,
+            F.slice(hs, j + 1, F.size(hs)),
+            lambda a, b: F.least(a, b),
+        )
+    mins = F.slice(
+        mins, 1, F.greatest(F.size(hs) - (WINNOW_WINDOW - 1), F.lit(0))
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )

@@ -57,6 +57,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         similarity,
+        sqlapi,
         textops,
         upsert,
     )

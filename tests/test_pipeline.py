@@ -109,3 +109,28 @@ def test_flatten_price_gates(spark):
     assert prices.filter(prices.item_id == "IGNORED").count() == 0
     prods = flatten_products(payloads)
     assert prods.filter(prods.categories.isNull()).count() == 0
+
+
+def test_frame_sampler_matches_python_recompute(spark, sf_dir):
+    from product_data_pipelining_spark.io import load_table
+    from product_data_pipelining_spark.operators.multimodal import (
+        MAX_SAMPLED_FRAMES,
+        mm03_frame_sample,
+    )
+
+    got = {
+        (r["doc_id"], r["frame_idx"]): (
+            r["frame_offset"], r["frame_len"], r["frame_checksum"]
+        )
+        for r in mm03_frame_sample(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    want = {}
+    for r in docs:
+        b = r["text"].encode()
+        k = min(MAX_SAMPLED_FRAMES, len(b) % 7 + 1)
+        stride = max(1, len(b) // k)
+        for i in range(k):
+            chunk = b[i * stride : (i + 1) * stride]
+            want[(r["doc_id"], i)] = (i * stride, len(chunk), sum(chunk))
+    assert got == want
