@@ -1,0 +1,73 @@
+"""Skew-mitigation: salted two-phase aggregation.
+
+AQE's skew-join splitting (on in this engine's session) handles skewed
+*joins* at runtime; skewed *aggregations* on a hot key still funnel all
+of that key's rows through one reducer in the final stage. Salting
+splits the hot key across ``n_salts`` reducers in phase 1 and merges the
+(tiny) per-salt partials in phase 2 — the standard hot-key recipe for
+100 TB group-bys where one key holds a double-digit share of rows.
+
+Spark's hash aggregation already does map-side partial combine, which
+defuses most skew; explicit salting matters when per-key *state* is
+large (collect_list/distinct-heavy) or when partial combine is
+ineffective (high cardinality per partition). It is exposed here as an
+explicit operator so pipelines can opt in per aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe ``groupBy(keys).agg(sum(c)..., count(*))``.
+
+    Phase 1 groups on (keys, salt) — the hot key's rows spread over
+    ``n_salts`` reducers; phase 2 re-groups on keys alone over at most
+    ``n_salts`` rows per key. SUM and COUNT merge exactly (sum of sums,
+    sum of counts), so the result is identical to the unsalted plan.
+    """
+    salted = df.withColumn(
+        _SALT, (F.rand(seed=0) * n_salts).cast("int")
+    )
+    phase1 = salted.groupBy(*keys, _SALT).agg(
+        *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return phase1.groupBy(*keys).agg(
+        *[F.sum(f"__s_{c}").alias(f"sum_{c}") for c in sum_cols],
+        F.sum("__n").alias("n_rows"),
+    )
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str | Column,
+    n_salts: int = 16,
+    out_name: str = "n_distinct",
+) -> DataFrame:
+    """Skew-safe exact ``countDistinct`` for hot keys.
+
+    Salts on the *distinct value's hash* (not random), so phase 1's
+    (keys, salt) groups each see a disjoint value subset; per-salt
+    distinct counts then add up exactly. Equivalent to Spark's internal
+    expand-based distinct aggregation but with an explicit, tunable
+    fan-out.
+    """
+    c = F.col(distinct_col) if isinstance(distinct_col, str) else distinct_col
+    salted = df.withColumn(_SALT, F.pmod(F.hash(c), F.lit(n_salts)))
+    phase1 = salted.groupBy(*keys, _SALT).agg(
+        F.countDistinct(c).alias("__d")
+    )
+    return phase1.groupBy(*keys).agg(F.sum("__d").cast("long").alias(out_name))

@@ -135,3 +135,45 @@ def s09_first_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rn")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
     )
+
+
+@register(
+    "s06_merge_upsert",
+    oracle="""
+    WITH existing AS (
+      SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+      FROM events WHERE event_id % 3 != 0
+    ),
+    updates AS (
+      SELECT event_id, user_id, event_type, ROUND(value * 2, 2) AS value
+      FROM events WHERE event_id % 5 = 0
+    )
+    SELECT e.* FROM existing e
+    LEFT JOIN (SELECT DISTINCT event_id FROM updates) u
+      ON e.event_id = u.event_id
+    WHERE u.event_id IS NULL
+    UNION ALL
+    SELECT * FROM updates
+    """,
+)
+def s06_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: batch MERGE emulation — updates replace matches, others kept.
+
+    The plain-Parquet equivalent of Delta ``MERGE WHEN MATCHED UPDATE
+    WHEN NOT MATCHED INSERT`` (reference ``INSERT OR REPLACE``,
+    ``main_pipeline.py:420-435``): an anti-join drops the matched
+    existing rows, then the update set unions in. One shuffle on the
+    key; at scale the anti-join broadcasts whenever the update batch is
+    small — the common case for incremental loads.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    existing = ev.filter(F.col("event_id") % 3 != 0).select(
+        "event_id", "user_id", "event_type", duck_round("value", 2).alias("value")
+    )
+    updates = ev.filter(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        duck_round(F.col("value") * 2, 2).alias("value"),
+    )
+    return merge_upsert(existing, updates, ["event_id"])

@@ -1,0 +1,97 @@
+"""Physical-plan regression tests: the scale claims, asserted.
+
+Each test pins a plan property the 100 TB design depends on; if a code
+change silently degrades one (broadcast → sort-merge, lost pushdown,
+lost partial aggregation), these fail before any benchmark would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from product_data_pipelining_spark.functions.skew import (
+    salted_distinct_count,
+    salted_sum_count,
+)
+from product_data_pipelining_spark.io import load_table
+from product_data_pipelining_spark.models.pipeline_queries import ensure_fixtures
+from product_data_pipelining_spark.models.runner import build_models, load_raw
+from product_data_pipelining_spark.plans.inspect import (
+    exchange_count,
+    has_partial_aggregation,
+    join_kinds,
+    scans,
+)
+from product_data_pipelining_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def test_fact_join_broadcasts_both_dims(spark):
+    m = build_models(load_raw(spark, ensure_fixtures()))
+    kinds = join_kinds(m["fact_prices"])
+    assert kinds.count("BroadcastHashJoin") == 2, kinds
+    assert "SortMergeJoin" not in kinds
+
+
+def test_tpch_q5_fact_side_never_shuffles_before_agg(spark, sf_dir):
+    df = QUERIES["tpch_q5_regional_revenue"].fn(spark, sf_dir)
+    kinds = join_kinds(df)
+    assert set(kinds) == {"BroadcastHashJoin"}, kinds
+
+
+def test_staging_filter_pushes_to_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    (scan,) = scans(df)
+    assert "GreaterThan(l_quantity" in scan["pushed_filters"], scan
+    # column pruning: only the two referenced columns are read
+    assert scan["read_schema"].count(":") == 2, scan["read_schema"]
+
+
+def test_q1_single_shuffle_with_partial_aggregation(spark, sf_dir):
+    df = QUERIES["tpch_q1_pricing_summary"].fn(spark, sf_dir)
+    assert has_partial_aggregation(df)
+    # scan → partial agg → ONE exchange on the group keys → final agg
+    assert exchange_count(df) == 1
+
+
+def test_mart_filter_reaches_raw_scan_through_model_chain(spark):
+    """Catalyst pushes the mart's category filter through staging + the
+    fact join down to the raw parquet scan (lazy layering pays off)."""
+    m = build_models(load_raw(spark, ensure_fixtures()))
+    mart = m["mart_category_distribution"]
+    pushed = " | ".join(s["pushed_filters"] for s in scans(mart))
+    assert "IsNotNull" in pushed
+
+
+def test_salted_sum_matches_plain_groupby(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_partkey"
+    )
+    got = {
+        r["l_returnflag"]: (round(r["sum_l_quantity"], 6), r["n_rows"])
+        for r in salted_sum_count(li, ["l_returnflag"], ["l_quantity"]).collect()
+    }
+    want = {
+        r["l_returnflag"]: (round(r["s"], 6), r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_distinct_count_matches_countdistinct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {
+        r["l_returnflag"]: r["n_distinct"]
+        for r in salted_distinct_count(li, ["l_returnflag"], "l_partkey").collect()
+    }
+    want = {
+        r["l_returnflag"]: r["d"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    assert got == want
