@@ -113,6 +113,30 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
 
 
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    sort_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet writer — the storage-layout half of scale.
+
+    ``partition_by`` columns become directory partitions, so downstream
+    filters on them prune whole directories before any IO
+    (``PartitionFilters`` in the scan). ``sort_by`` sorts within each
+    output file, tightening parquet min/max zone maps for row-group
+    skipping on range predicates. Both are no-ops semantically; they
+    exist purely to make the 100 TB read path cheap.
+    """
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` works over it.
 

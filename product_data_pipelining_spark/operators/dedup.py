@@ -72,16 +72,31 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per doc with NUM_MINHASH lexicographic-min md5 columns.
 
-    Single explode + single groupBy: all k min-aggregates compute in one
-    shuffle with map-side partial mins, so the shuffle moves one row per
-    (doc, partition) regardless of document length.
+    Entirely shuffle-free: each min-hash is ``array_min`` over an
+    in-row ``transform`` of the shingle array — no explode, no groupBy.
+    The repartition between shingling and hashing is load-balancing AND
+    a projection barrier: without it CollapseProject would inline the
+    shingle expression into all k transforms, recomputing it k times.
+    Docs with no shingles are dropped (parity with the exploded form).
     """
-    ex = _exploded_shingles(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
+    docs = parallelize_scan(
+        load_table(spark, sf_dir, "documents"), force=True
+    )
+    sh = (
+        docs.select("doc_id", shingles(tokens()).alias("sh"))
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .filter(F.size("sh") > 0)
+    )
+    def _hash_j(j: int):
+        # one-arg lambda only: a second parameter would make pyspark
+        # pass the element INDEX into it (HOF (value, index) form)
+        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+    mins = [
+        F.array_min(F.transform("sh", _hash_j(j))).alias(f"h{j}")
         for j in range(NUM_MINHASH)
     ]
-    return ex.groupBy("doc_id").agg(*aggs)
+    return sh.select("doc_id", *mins)
 
 
 def _sql_signature() -> str:

@@ -1,0 +1,116 @@
+"""Window-function and multi-dimensional aggregation coverage.
+
+The reference's window-shaped computations are share-of-group and
+median ordering (SURVEY.md §2.5, done in pandas there, as Spark windows
+here — a11/a12). These queries widen the family to the full ranking /
+offset / frame surface and to ROLLUP grouping sets, so a user of any
+standard analytic SQL shape finds it covered and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..functions.rounding import duck_round
+from ..registry import register
+
+# lineitem carries duplicate (orderkey, linenumber) rows, so windows
+# order by the full tuple — a total order keeps every function
+# deterministic and both engines agree exactly.
+_ORDER_COLS = ("l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+_SQL_ORDER = ", ".join(_ORDER_COLS)
+
+
+@register(
+    "w01_ranking_offset_frames",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           ROUND(l_quantity, 2) AS qty,
+           row_number() OVER w AS rn,
+           rank() OVER (PARTITION BY l_orderkey ORDER BY CAST(l_quantity AS DOUBLE) DESC) AS qty_rank,
+           dense_rank() OVER (PARTITION BY l_orderkey ORDER BY CAST(l_quantity AS DOUBLE) DESC) AS qty_dense_rank,
+           ROUND(lag(l_quantity) OVER w, 2) AS prev_qty,
+           ROUND(lead(l_quantity) OVER w, 2) AS next_qty,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(27,10))) OVER (
+             PARTITION BY l_orderkey ORDER BY {_SQL_ORDER}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+             AS running_qty,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(27,10))) OVER (
+             PARTITION BY l_orderkey ORDER BY {_SQL_ORDER}
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) / 3, 2)
+             AS centered_avg3
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY {_SQL_ORDER})
+    """,
+)
+def w01_ranking_offset_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking, offset, and frame windows in one pass.
+
+    All seven functions share two window specs → Catalyst plans a single
+    shuffle on ``l_orderkey`` and two in-partition sorts. The running
+    and moving sums accumulate in DECIMAL so any partition layout gives
+    identical doubles (the centered "avg" divides by the fixed frame
+    width to stay exact at partition edges).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(*_ORDER_COLS)
+    w_qty = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_quantity").cast("double").desc()
+    )
+    dec_qty = F.col("l_quantity").cast("decimal(27,10)")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    centered = w.rowsBetween(-1, 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        duck_round("l_quantity", 2).alias("qty"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w_qty).alias("qty_rank"),
+        F.dense_rank().over(w_qty).alias("qty_dense_rank"),
+        duck_round(F.lag("l_quantity").over(w), 2).alias("prev_qty"),
+        duck_round(F.lead("l_quantity").over(w), 2).alias("next_qty"),
+        duck_round(F.sum(dec_qty).over(running).cast("double"), 2).alias(
+            "running_qty"
+        ),
+        duck_round(
+            F.sum(dec_qty).over(centered).cast("double") / 3, 2
+        ).alias("centered_avg3"),
+    )
+
+
+@register(
+    "a14_rollup_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(27,10))) AS DOUBLE), 2)
+             AS sum_qty,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a14_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: detail, per-flag subtotal, grand total.
+
+    One expand-based aggregation pass (Spark rewrites rollup into an
+    Expand + single hash aggregate — no extra scans). ``grouping()``
+    flags disambiguate genuine NULL keys from subtotal rows, exactly as
+    in ANSI SQL.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            duck_round(
+                F.sum(F.col("l_quantity").cast("decimal(27,10)")).cast("double"), 2
+            ).alias("sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )

@@ -27,10 +27,12 @@ def scans(df: DataFrame) -> list[dict[str, str]]:
             continue
         pushed = re.search(r"PushedFilters: \[([^\]]*)\]", line)
         schema = re.search(r"ReadSchema: (struct<[^>]*>)", line)
+        part = re.search(r"PartitionFilters: \[([^\]]*)\]", line)
         out.append(
             {
                 "pushed_filters": pushed.group(1) if pushed else "",
                 "read_schema": schema.group(1) if schema else "",
+                "partition_filters": part.group(1) if part else "",
             }
         )
     return out

@@ -95,3 +95,19 @@ def test_salted_distinct_count_matches_countdistinct(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
+    from product_data_pipelining_spark.io import load_events, write_table
+
+    path = str(tmp_path / "events_by_type")
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    write_table(ev, path, partition_by=("event_type",), sort_by=("event_id",))
+    df = spark.read.parquet(path).filter(F.col("event_type") == "view")
+    (scan,) = scans(df)
+    # the filter prunes directories, not rows: it lands in
+    # PartitionFilters and never reaches PushedFilters
+    assert "event_type" in scan["partition_filters"], scan
+    assert "event_type" not in scan["pushed_filters"], scan
+    want = ev.filter(F.col("event_type") == "view").count()
+    assert df.count() == want
