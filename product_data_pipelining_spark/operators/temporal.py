@@ -1,0 +1,191 @@
+"""Temporal joins Spark lacks natively: as-of and bounded range joins.
+
+Both are composed from shuffle-friendly primitives (SURVEY.md §7's
+"composition of existing DataFrame ops" tier) rather than inequality
+joins, which Spark would execute as a broadcast nested loop:
+
+- **as-of**: union both sides, one window pass per key carries the
+  latest right-side values forward — one shuffle on the key, O(n) work,
+  no pair blow-up. DuckDB's native ``ASOF LEFT JOIN`` is the oracle.
+- **range**: quantize time into window-width bins; each probe row looks
+  at its bin and the next, turning the band predicate into an equi-join
+  with a residual filter — the standard interval-join decomposition
+  (used by every streaming interval join) that hash-partitions instead
+  of cross-multiplying.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..functions.rounding import duck_round
+from ..registry import register
+
+RANGE_WINDOW_US = 600_000_000  # 10 minutes
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """For every left row, the latest right row with ``ts <= left.ts``.
+
+    Right must be unique per (by, ts) — pre-aggregate otherwise. The
+    union trick: tag sides, sort (ts, right-first) within each key, and
+    ``last(..., ignorenulls)`` carries right values forward; left rows
+    then read the nearest preceding right row, ties (equal ts) included,
+    matching ASOF ``>=`` semantics. One shuffle, no pair explosion.
+    """
+    l_tag = left.withColumn("__side", F.lit(0))
+    for c in value_cols:
+        l_tag = l_tag.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    r_tag = right.withColumn("__side", F.lit(1))
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    u = l_tag.unionByName(r_tag.select(*l_tag.columns))
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.asc(ts_col), F.desc("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched_ts = F.last(
+        F.when(F.col("__side") == 1, F.col(ts_col)), ignorenulls=True
+    ).over(w)
+    out = u.withColumn("__asof_ts", matched_ts)
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.filter(F.col("__side") == 0).drop("__side")
+
+
+def range_join_candidates(
+    probe: DataFrame,
+    build: DataFrame,
+    by: Sequence[str],
+    probe_ts: str,
+    build_ts: str,
+    window_us: int,
+) -> DataFrame:
+    """Equi-join decomposition of ``build.ts ∈ [probe.ts, probe.ts+W]``.
+
+    Build rows land in bin ``ts div W``; a probe row's matches can only
+    sit in its own bin or the next, so the probe side explodes into two
+    (key, bin) probes and the band predicate becomes a residual filter
+    after a plain hash join. Fan-out is exactly 2× the probe side —
+    independent of data volume — where a naive inequality join is a
+    nested loop over every same-key pair.
+    """
+    b = build.withColumn("__bin", (F.col(build_ts) / window_us).cast("long"))
+    p = probe.withColumn(
+        "__bin",
+        F.explode(
+            F.array(
+                (F.col(probe_ts) / window_us).cast("long"),
+                (F.col(probe_ts) / window_us).cast("long") + 1,
+            )
+        ),
+    )
+    joined = p.join(b, [*by, "__bin"])
+    residual = F.col(build_ts).between(
+        F.col(probe_ts), F.col(probe_ts) + window_us
+    )
+    return joined.filter(residual).drop("__bin")
+
+
+@register(
+    "j05_asof_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             ROUND(MAX(value), 2) AS p_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))
+    )
+    SELECT v.user_id, v.event_id, v.ts_us,
+           p.ts_us AS p_ts_us, p.p_value
+    FROM v ASOF LEFT JOIN p
+      ON v.user_id = p.user_id AND v.ts_us >= p.ts_us
+    """,
+)
+def j05_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each view event ↔ the user's latest prior purchase.
+
+    DuckDB's native ASOF LEFT JOIN is the oracle; the Spark side is the
+    union+window composition (see :func:`asof_join`).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts_us"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(duck_round(F.max("value"), 2).alias("p_value"))
+    )
+    out = asof_join(
+        views, purchases, by=["user_id"], ts_col="ts_us", value_cols=["p_value"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.col("__asof_ts").alias("p_ts_us"),
+        "p_value",
+    )
+
+
+@register(
+    "j06_range_join",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           c.ts_us - p.ts_us AS lag_us
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts_us BETWEEN p.ts_us AND p.ts_us + {RANGE_WINDOW_US}
+    """,
+)
+def j06_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks within 10 minutes after each purchase.
+
+    The oracle states the band predicate directly; the Spark side runs
+    the bin-decomposed equi-join (:func:`range_join_candidates`) — same
+    rows, hash-partitioned execution.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("p_ts_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("c_ts_us"),
+    )
+    out = range_join_candidates(
+        purchases, clicks, by=["user_id"],
+        probe_ts="p_ts_us", build_ts="c_ts_us", window_us=RANGE_WINDOW_US,
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        (F.col("c_ts_us") - F.col("p_ts_us")).alias("lag_us"),
+    )

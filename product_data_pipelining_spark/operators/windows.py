@@ -114,3 +114,70 @@ def a14_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_linestatus").cast("int").alias("g_status"),
         )
     )
+
+
+@register(
+    "a15_pivot_status_counts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o,
+           COUNT(CASE WHEN l_linestatus = 'P' THEN 1 END) AS n_p,
+           ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                               THEN CAST(l_quantity AS DECIMAL(27,10)) END)
+                 AS DOUBLE), 2) AS qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a15_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: line-status columns per return flag.
+
+    ``pivot`` with an explicit value list compiles to conditional
+    aggregates in a single pass (no extra scan per column, no distinct
+    job for value discovery). Missing combinations yield NULL counts in
+    Spark but 0 in SQL ``COUNT(CASE ...)`` — coalesced for parity.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(27,10)")).alias("q"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
+        duck_round(F.col("F_q").cast("double"), 2).alias("qty_f"),
+    )
+
+
+@register(
+    "j04_semi_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(c.c_custkey IN (SELECT o_custkey FROM orders) AS INT)
+             AS has_orders
+    FROM customer c
+    """,
+)
+def j04_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins (existence tests without row fan-out).
+
+    Semi/anti never duplicate the left side however many matches exist —
+    the right side reduces to its distinct keys in the build, so the
+    shuffle carries keys only. The oracle states the same predicate as
+    an IN subquery, which DuckDB plans as the identical semi join.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    with_orders = c.join(o, cond, "left_semi").withColumn(
+        "has_orders", F.lit(1)
+    )
+    without = c.join(o, cond, "left_anti").withColumn("has_orders", F.lit(0))
+    return with_orders.unionByName(without)

@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         similarity,
         sqlapi,
+        temporal,
         windows,
         textops,
         upsert,
