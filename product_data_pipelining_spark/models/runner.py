@@ -155,3 +155,80 @@ def dashboard_queries(m: dict[str, DataFrame]) -> dict[str, DataFrame]:
         "category_value_map": cvm,
         "value_map_medians": dashboard.value_map_medians(cvm),
     }
+
+
+def run_incremental(
+    spark: SparkSession,
+    raw_dir: str,
+    out_dir: str,
+    since: str,
+) -> dict[str, DataFrame]:
+    """Incremental refresh: merge new raw rows, rebuild downstream marts.
+
+    The reference only does full refresh (dbt ``--full-refresh``,
+    SURVEY.md §2.9); this is the incremental materialization a
+    continuously-ingesting deployment needs. Raw rows with
+    ``fetched_at > since`` are upserted into the existing raw snapshots
+    (MERGE semantics — :func:`..operators.upsert.merge_upsert`), then
+    staging/dims/fact/marts rebuild from the merged snapshot. Dims and
+    marts are aggregates of the full key space, so they rebuild rather
+    than merge — the fact/mart rebuild reads the merged parquet, not the
+    original feed, keeping incremental cost proportional to snapshot
+    size, never to history length.
+
+    Requires a prior :func:`run_pipeline` (or ``run_incremental``) to
+    have written ``out_dir/raw_*`` snapshots; writes updated snapshots
+    back before rebuilding.
+    """
+    from ..operators.upsert import merge_upsert
+
+    raw: dict[str, DataFrame] = {}
+    for name in RAW_TABLES:
+        feed = spark.read.parquet(os.path.join(raw_dir, f"{name}.parquet"))
+        keys, gate = _LOAD_SPEC[name]
+        fresh = feed.filter(
+            F.col(gate).isNotNull() & (F.col("fetched_at") > F.lit(since))
+        )
+        fresh = upsert_last_writer_wins(
+            fresh, keys, version_col="fetched_at",
+            tiebreak=[c for c in feed.columns],
+        )
+        snap_path = os.path.join(out_dir, f"snap_{name}")
+        snapshot = spark.read.parquet(snap_path)
+        merged = merge_upsert(snapshot, fresh, keys)
+        tmp = snap_path + "__new"
+        merged.write.mode("overwrite").parquet(tmp)
+        # swap: re-point the snapshot (atomic-rename territory on a real
+        # object store; plain overwrite-by-rename locally)
+        import shutil
+
+        shutil.rmtree(snap_path)
+        os.rename(tmp, snap_path)
+        raw[name] = spark.read.parquet(snap_path)
+
+    m = build_models(raw)
+    for name in MATERIALIZED:
+        path = os.path.join(out_dir, name)
+        m[name].write.mode("overwrite").parquet(path)
+        m[name] = spark.read.parquet(path)
+    return m
+
+
+def seed_snapshots(
+    spark: SparkSession, raw_dir: str, out_dir: str, until: str | None = None
+) -> None:
+    """Write the initial raw snapshots ``run_incremental`` merges into.
+
+    ``until`` bounds the seed load (``fetched_at <= until``) so tests
+    can replay history as seed + incremental batches.
+    """
+    for name in RAW_TABLES:
+        df = spark.read.parquet(os.path.join(raw_dir, f"{name}.parquet"))
+        keys, gate = _LOAD_SPEC[name]
+        df = df.filter(F.col(gate).isNotNull())
+        if until is not None:
+            df = df.filter(F.col("fetched_at") <= F.lit(until))
+        df = upsert_last_writer_wins(
+            df, keys, version_col="fetched_at", tiebreak=[c for c in df.columns]
+        )
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"snap_{name}"))

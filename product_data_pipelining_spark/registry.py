@@ -55,6 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import (  # noqa: F401
         dedup,
         multimodal,
+        profiling,
         relational,
         similarity,
         sqlapi,

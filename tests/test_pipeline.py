@@ -134,3 +134,24 @@ def test_frame_sampler_matches_python_recompute(spark, sf_dir):
             chunk = b[i * stride : (i + 1) * stride]
             want[(r["doc_id"], i)] = (i * stride, len(chunk), sum(chunk))
     assert got == want
+
+
+def test_incremental_run_converges_to_full_refresh(spark, tmp_path):
+    """Seed from the first half of history, merge the rest incrementally;
+    every mart must equal the full-refresh build bit-for-bit."""
+    from product_data_pipelining_spark.models.runner import (
+        MATERIALIZED,
+        run_incremental,
+        seed_snapshots,
+    )
+
+    raw_dir = ensure_fixtures()
+    out = str(tmp_path / "incr")
+    cutoff = "2026-02-01 13:00:00"  # splits the fixture's fetched_at range
+    seed_snapshots(spark, raw_dir, out, until=cutoff)
+    incr = run_incremental(spark, raw_dir, out, since=cutoff)
+    full = build_models(load_raw(spark, raw_dir))
+    for name in MATERIALIZED:
+        got = {tuple(map(str, r)) for r in incr[name].collect()}
+        want = {tuple(map(str, r)) for r in full[name].collect()}
+        assert got == want, f"{name}: incremental != full refresh"
