@@ -57,6 +57,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         profiling,
         relational,
+        scalar_ops,
         similarity,
         sqlapi,
         temporal,
