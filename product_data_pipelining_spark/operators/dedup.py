@@ -69,39 +69,63 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per doc with NUM_MINHASH lexicographic-min md5 columns.
+# k hash functions = k overlapping 16-hex-char (64-bit) windows of ONE
+# md5 per shingle — one digest instead of k, same lexicographic-min
+# semantics, identical on both engines. Offsets 1,3,..,15 into the
+# 32-char hex digest.
+_SLICE_LEN = 16
+_SLICE_OFFSETS = tuple(1 + 2 * j for j in range(NUM_MINHASH))
+_MIN_INIT = "g" * _SLICE_LEN  # 'g' > 'f': greater than any hex slice
 
-    Entirely shuffle-free: each min-hash is ``array_min`` over an
-    in-row ``transform`` of the shingle array — no explode, no groupBy.
-    The repartition between shingling and hashing is load-balancing AND
-    a projection barrier: without it CollapseProject would inline the
-    shingle expression into all k transforms, recomputing it k times.
-    Docs with no shingles are dropped (parity with the exploded form).
+
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc with NUM_MINHASH lexicographic-min hash columns.
+
+    Entirely shuffle-free per doc: ONE ``aggregate`` pass over the
+    shingle array computes all k minima at once — the accumulator is the
+    running per-slice minimum array, zipped with each shingle's digest
+    slices via ``least``. One md5 per shingle total (not per hash
+    function). The first repartition balances load AND acts as a
+    projection barrier (CollapseProject would otherwise inline the
+    shingle expression into the aggregate); the second is a barrier over
+    the tiny signature rows so the k ``element_at`` projections don't
+    each re-run the aggregate.
     """
     docs = parallelize_scan(
         load_table(spark, sf_dir, "documents"), force=True
     )
+    par = docs.sparkSession.sparkContext.defaultParallelism
     sh = (
         docs.select("doc_id", shingles(tokens()).alias("sh"))
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .repartition(par)
         .filter(F.size("sh") > 0)
     )
-    def _hash_j(j: int):
-        # one-arg lambda only: a second parameter would make pyspark
-        # pass the element INDEX into it (HOF (value, index) form)
-        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+    init = F.array(*[F.lit(_MIN_INIT) for _ in range(NUM_MINHASH)])
 
-    mins = [
-        F.array_min(F.transform("sh", _hash_j(j))).alias(f"h{j}")
-        for j in range(NUM_MINHASH)
-    ]
-    return sh.select("doc_id", *mins)
+    def step(acc, digest):
+        # digest is a lambda variable (bound value) — slicing it k times
+        # costs k substring reads, NOT k md5 re-evaluations
+        slices = F.array(
+            *[F.substring(digest, o, _SLICE_LEN) for o in _SLICE_OFFSETS]
+        )
+        return F.zip_with(acc, slices, lambda a, b: F.least(a, b))
+
+    digests = F.transform("sh", lambda s: F.md5(s))
+    m8 = F.aggregate(digests, init, step)
+    sig = sh.select("doc_id", m8.alias("m8")).repartition(par)
+    return sig.select(
+        "doc_id",
+        *[
+            F.element_at("m8", j + 1).alias(f"h{j}")
+            for j in range(NUM_MINHASH)
+        ],
+    )
 
 
 def _sql_signature() -> str:
     mins = ",\n      ".join(
-        f"min(md5('{j}:' || s)) AS h{j}" for j in range(NUM_MINHASH)
+        f"min(substr(md5(s), {o}, {_SLICE_LEN})) AS h{j}"
+        for j, o in enumerate(_SLICE_OFFSETS)
     )
     return f"""
     WITH toks AS (
