@@ -62,8 +62,7 @@ def shingles(toks: Column, n: int = 3) -> Column:
 
 def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle s, shingle-set size nsh) — the dedup work table."""
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), force=True)
-    sh = docs.select("doc_id", shingles(tokens()).alias("sh"))
+    sh = shingle_arrays(spark, sf_dir)
     return sh.select(
         "doc_id", F.explode("sh").alias("s"), F.size("sh").alias("nsh")
     )
@@ -78,28 +77,36 @@ _SLICE_OFFSETS = tuple(1 + 2 * j for j in range(NUM_MINHASH))
 _MIN_INIT = "g" * _SLICE_LEN  # 'g' > 'f': greater than any hex slice
 
 
-def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh: array<string>) — one shingle array per document.
+
+    The repartition balances load AND acts as a projection barrier:
+    without it CollapseProject would inline the shingle expression into
+    every downstream consumer, recomputing it per consumer.
+    """
+    docs = parallelize_scan(
+        load_table(spark, sf_dir, "documents"), force=True
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select(
+        "doc_id", shingles(tokens()).alias("sh")
+    ).repartition(par)
+
+
+def signature_from_shingles(sh_arr: DataFrame) -> DataFrame:
     """One row per doc with NUM_MINHASH lexicographic-min hash columns.
 
     Entirely shuffle-free per doc: ONE ``aggregate`` pass over the
     shingle array computes all k minima at once — the accumulator is the
     running per-slice minimum array, zipped with each shingle's digest
     slices via ``least``. One md5 per shingle total (not per hash
-    function). The first repartition balances load AND acts as a
-    projection barrier (CollapseProject would otherwise inline the
-    shingle expression into the aggregate); the second is a barrier over
-    the tiny signature rows so the k ``element_at`` projections don't
-    each re-run the aggregate.
+    function). The final repartition is a barrier over the tiny
+    signature rows so the k ``element_at`` projections don't each
+    re-run the aggregate. Docs with no shingles are dropped (parity
+    with the exploded form).
     """
-    docs = parallelize_scan(
-        load_table(spark, sf_dir, "documents"), force=True
-    )
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = (
-        docs.select("doc_id", shingles(tokens()).alias("sh"))
-        .repartition(par)
-        .filter(F.size("sh") > 0)
-    )
+    par = sh_arr.sparkSession.sparkContext.defaultParallelism
+    sh = sh_arr.filter(F.size("sh") > 0)
     init = F.array(*[F.lit(_MIN_INIT) for _ in range(NUM_MINHASH)])
 
     def step(acc, digest):
@@ -120,6 +127,11 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(NUM_MINHASH)
         ],
     )
+
+
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature table straight from the documents scan."""
+    return signature_from_shingles(shingle_arrays(spark, sf_dir))
 
 
 def _sql_signature() -> str:
@@ -264,16 +276,18 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each expensive subtree computes exactly once:
 
-    - the signature table (tiny — k hashes/doc) is persisted; at corpus
-      scale this is the stage you'd write to parquet between jobs;
+    - the shingle arrays are computed in ONE pass, persisted, and shared
+      by the signature derivation AND the verify join (at corpus scale
+      this is the stage you'd write to parquet between jobs);
     - candidate pairs come from ``collect_list`` per band bucket +
       higher-order in-bucket pairing — no self-join, so the signature
       pipeline isn't re-derived for each side;
-    - the verify joins per-doc shingle *arrays* (persisted, computed
-      once) and intersects JVM-side (``array_intersect``) instead of
-      re-exploding shingles into a join+groupBy.
+    - the verify joins per-doc shingle *arrays* and intersects JVM-side
+      (``array_intersect``) instead of re-exploding shingles into a
+      join+groupBy.
     """
-    sig = minhash_signature(spark, sf_dir).persist()
+    sh_arr = shingle_arrays(spark, sf_dir).persist()
+    sig = signature_from_shingles(sh_arr)
     band_cols = F.array(
         *[
             F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
@@ -302,8 +316,6 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), force=True)
-    sh_arr = docs.select("doc_id", shingles(tokens()).alias("sh")).persist()
     a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     verified = (
