@@ -61,6 +61,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         sqlapi,
         temporal,
+        tpch_shapes,
         windows,
         textops,
         upsert,
