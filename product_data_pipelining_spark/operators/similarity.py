@@ -24,6 +24,8 @@ TOP_K = 10
 QUERY_STRIDE = 50  # vec_id % 50 == 0 rows act as the query set
 NEARDUP_COSINE = 0.4
 LSH_BITS = 4  # sign bits of the first 4 dims form the bucket
+CENT_STRIDE = 83  # vec_id % 83 == 7 rows act as IVF seed centroids
+NPROBE = 2  # IVF cells probed per query
 
 
 def _dbl(col: Column) -> Column:
@@ -213,6 +215,128 @@ def sim02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "bucket", "cosine_sim", "rank")
+    )
+
+
+@register(
+    "sim04_ann_ivf",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             {_SQL_NORM.format(a="embedding")} AS nrm
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+      FROM v WHERE vec_id % {CENT_STRIDE} = 7
+    ),
+    asg AS (
+      SELECT v.vec_id, c.cent_id, v.embedding, v.nrm,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY ROUND({_SQL_DOT.format(a="v.embedding", b="c.c_emb")}
+                              / (v.nrm * c.c_nrm), 6) DESC,
+                        c.cent_id ASC) AS crank
+      FROM v CROSS JOIN c
+    ),
+    cells AS (
+      SELECT vec_id, cent_id AS cell, embedding, nrm
+      FROM asg WHERE crank = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell,
+             embedding AS q_emb, nrm AS q_nrm
+      FROM asg WHERE crank <= {NPROBE} AND vec_id % {QUERY_STRIDE} = 0
+    ),
+    scored AS (
+      SELECT p.query_id, x.vec_id AS neighbor_id, x.cell,
+             ROUND({_SQL_DOT.format(a="p.q_emb", b="x.embedding")}
+                   / (p.q_nrm * x.nrm), 4) AS cosine_sim
+      FROM probes p
+      JOIN cells x ON x.cell = p.cell AND x.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cell, cosine_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def sim04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse quantize → probe nearest cells.
+
+    Centroids are deterministic seed vectors (every {CENT_STRIDE}th
+    vec_id) so both engines agree exactly; production would k-means
+    them, which only changes how ``cents`` is produced. Every vector is
+    assigned to its nearest centroid (argmin over a broadcast cross
+    join — ~sqrt(N) centroids keeps this linear-ish); a query probes
+    its {NPROBE} nearest cells. The candidate join is an equi-join on
+    the cell id — the corpus side stays hash-partitioned by cell, only
+    the probe fan-out replicates, and no crossproduct ever forms. At
+    100 TB the cell assignment is precomputed and written
+    partitioned-by-cell so probes prune partitions at the scan.
+    """
+    v = _with_norm(spark, sf_dir)
+    cents = (
+        v.filter(F.col("vec_id") % CENT_STRIDE == 7)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    asg_sim = duck_round(
+        cosine(F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")),
+        6,
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.desc("asg_sim"), F.asc("cent_id")
+    )
+    asg = (
+        v.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "nrm", "cent_id", asg_sim.alias("asg_sim"))
+        .withColumn("crank", F.row_number().over(wc))
+    )
+    cells = asg.filter(F.col("crank") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell"), "embedding", "nrm"
+    )
+    probes = asg.filter(
+        (F.col("crank") <= NPROBE) & (F.col("vec_id") % QUERY_STRIDE == 0)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cent_id").alias("cell"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        cells.join(
+            F.broadcast(probes),
+            (cells.cell == probes.cell)
+            & (cells.vec_id != probes.query_id),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cells.cell.alias("cell"),
+            duck_round(
+                cosine(
+                    F.col("q_emb"), F.col("embedding"),
+                    F.col("q_nrm"), F.col("nrm"),
+                ),
+                4,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cell", "cosine_sim", "rank")
     )
 
 
