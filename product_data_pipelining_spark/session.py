@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # coalesce by target size, not by keeping parallelism: a shuffle
+        # whose whole output fits one advisory partition becomes ONE task
+        # instead of `cpus` near-empty ones. At 100 TB shuffles exceed
+        # the advisory size anyway, so this only removes small-stage
+        # scheduling overhead — it never caps big-stage parallelism.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         # start high, let AQE coalesce down — on a 1000-executor cluster the
         # initial number should be ~2-3x total cores; locally core count.
         .config("spark.sql.shuffle.partitions", str(cpus))
