@@ -61,14 +61,21 @@ def main() -> None:
     else:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Steady-state timing: best of REPEATS full runs (plan construction
+    # + execution) per query. A single local[32] run carries 100-300 ms
+    # of scheduler/GC jitter, which at sf0.1 can exceed the query itself.
+    REPEATS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        best, rows = float("inf"), 0
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            rows = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
