@@ -27,6 +27,10 @@ from product_data_pipelining_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# serving posture: hot base tables live in the in-memory columnar cache
+# (repartitioned once at materialization) — see io.load_table
+os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
+
 # headline set: one per operator family, weighted toward the shapes that
 # dominate real workloads (scan-agg, star join, window, dedup, ANN, text)
 HEADLINE = [
