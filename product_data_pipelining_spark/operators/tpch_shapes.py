@@ -544,3 +544,465 @@ def tpch_q22_idle_rich_customers(
             det_sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Second batch: the remaining classic shapes (Q2/Q8/Q9/Q13/Q15/Q17/Q20/Q21),
+# adapted to the slimmed schema (no partsupp / commitdate / receiptdate):
+# lineitem doubles as the supply catalog (unit cost = extendedprice/quantity),
+# and Q21's "late" predicate becomes "returned".
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window
+
+from ..functions.rounding import _scaled_long
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             ROUND(l_extendedprice / l_quantity, 2) AS unit_cost
+      FROM lineitem
+    )
+    SELECT DISTINCT s.s_name, ROUND(s.s_acctbal, 2) AS acctbal,
+           n.n_name AS nation, p.p_partkey, p.p_name, c.unit_cost AS min_cost
+    FROM part p
+    JOIN costs c ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+      AND c.unit_cost = (SELECT MIN(ROUND(l2.l_extendedprice / l2.l_quantity, 2))
+                         FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar MIN subquery → cheapest supplier.
+
+    Adapted (no partsupp): lineitem is the supply catalog and unit cost
+    is ``round(extendedprice/quantity, 2)`` (``duck_round`` keeps the
+    equality comparison bit-identical across engines). The correlated
+    MIN decorrelates into a window min over ``l_partkey`` — ONE shuffle
+    of lineitem, no self-join re-scan — then dimension joins broadcast.
+    At 100 TB the window and the final dedup both reuse the same
+    hash-partitioning on partkey, so no extra exchange appears.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    costs = li.select(
+        "l_partkey",
+        "l_suppkey",
+        duck_round(F.col("l_extendedprice") / F.col("l_quantity"), 2).alias(
+            "unit_cost"
+        ),
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        costs.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select("l_partkey", "l_suppkey", "min_cost")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_name",
+            duck_round(F.col("s_acctbal"), 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            "min_cost",
+        )
+        .distinct()
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+             CAST(CASE WHEN l.l_extendedprice * (1 - l.l_discount) >= 0
+                  THEN FLOOR(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE) * 1e6 + 0.5)
+                  ELSE CEIL(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE) * 1e6 - 0.5)
+                  END AS BIGINT) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+        AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1995-01-01'
+                                            AND DATE '1996-12-31'
+    )
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_2'
+                               THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — ratio of conditional sums per year.
+
+    Eight-way join where every dimension side broadcasts; lineitem is the
+    only shuffled relation and it shuffles exactly once (to the year
+    aggregate). The customer-side region filter prunes orders before they
+    meet lineitem. Volumes accumulate as 1e-6-grid BIGINTs so the ratio
+    is order-independent and hash-stable against DuckDB.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = _t(spark, sf_dir, "supplier")
+    od = F.col("o_orderdate").cast("date")
+    o = _t(spark, sf_dir, "orders").filter(
+        od.between(F.lit("1995-01-01").cast("date"),
+                   F.lit("1996-12-31").cast("date"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation")
+    n2 = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_region = (
+        c.join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    ord_in = o.join(
+        F.broadcast(cust_region), o.o_custkey == cust_region.c_custkey
+    ).select(
+        "o_orderkey",
+        F.year(od).cast("long").alias("o_year"),
+    )
+    supp_nat = s.join(F.broadcast(n2), s.s_nationkey == n2.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    vol = _scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(F.broadcast(ord_in), li.l_orderkey == ord_in.o_orderkey)
+        .select("o_year", "supp_nation", vol.alias("volume"))
+    )
+    return joined.groupBy("o_year").agg(
+        duck_round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", F.col("volume"))
+                .otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+           {sql_det_sum("l.l_extendedprice * (1 - l.l_discount) - 0.6 * p.p_retailprice * l.l_quantity")} AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(CAST(o.o_orderdate AS DATE))
+    """,
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year.
+
+    Adapted (no partsupp): supply cost proxied as ``0.6 * p_retailprice *
+    l_quantity``; the LIKE filter on p_name keeps Q9's
+    non-sargable-dimension-predicate character (pushed to the part scan,
+    prunes the broadcast build side). lineitem shuffles once to the
+    (nation, year) aggregate; the arithmetic stays left-associated in
+    both engines so the grid-rounded partials agree bit-for-bit.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    supp_nat = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    ord_year = o.select(
+        "o_orderkey",
+        F.year(F.col("o_orderdate").cast("date")).cast("long").alias("o_year"),
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(F.broadcast(ord_year), li.l_orderkey == ord_year.o_orderkey)
+        .groupBy("nation", "o_year")
+        .agg(det_sum(profit).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13: order-count histogram via outer join with an ON-clause
+    residual predicate.
+
+    The priority filter must live in the join condition (a WHERE would
+    drop zero-order customers — the whole point of the query). Spark
+    pushes it to the orders scan because it references only the
+    preserved-side-independent input. Two aggregations: per-customer
+    count (shuffle on custkey — at scale this is the orders table's
+    natural partitioning) then the tiny histogram re-aggregation.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_det_sum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: view + scalar MAX over the view (argmax without a sort).
+
+    The revenue "view" materializes once; its global max is a 1-row
+    aggregate broadcast back (never collected to the driver) and the
+    equality filter picks the top supplier(s) — ties preserved, unlike
+    LIMIT 1. Revenue values live on the deterministic 1e-6 grid so the
+    float equality is safe cross-engine. At scale: one shuffle for the
+    per-supplier aggregate; the max + filter are map-side over its
+    output.
+    """
+    sd = F.col("l_shipdate").cast("date")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (sd >= F.lit("1996-01-01").cast("date"))
+        & (sd < F.lit("1996-04-01").cast("date"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        det_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT ROUND({sql_det_sum("l.l_extendedprice")} / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def tpch_q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17: correlated AVG threshold (small-order revenue).
+
+    The correlated average decorrelates into a window AVG over
+    ``l_partkey`` computed on the already-part-filtered lines — valid
+    because the outer filter touches only part attributes, so the
+    per-part line set is unchanged. Quantities are integer-valued
+    doubles (exact, order-independent sums), making the 0.2×avg
+    threshold bit-identical across engines. One lineitem shuffle (the
+    window); the global sum is map-side partials only.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    small = joined.withColumn("_avg_q", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("_avg_q")
+    )
+    total = small.agg(
+        (F.sum(_scaled_long(F.col("l_extendedprice"))).cast("double") / F.lit(1e6)).alias("_s")
+    )
+    return total.select(
+        duck_round(duck_round(F.col("_s"), 2) / F.lit(7.0), 2).alias(
+            "avg_yearly"
+        )
+    )
+
+
+@register(
+    "tpch_q20_part_promotion_suppliers",
+    oracle="""
+    SELECT s.s_name, ROUND(s.s_acctbal, 2) AS acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+        GROUP BY l.l_suppkey
+        HAVING SUM(l.l_quantity) > 300
+      )
+      AND s.s_nationkey IN (SELECT n_nationkey FROM nation
+                            WHERE n_name IN ('NATION_1', 'NATION_4'))
+    """,
+)
+def tpch_q20_part_promotion_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 shape: nested IN over an aggregate-with-HAVING.
+
+    Adapted (no partsupp): "shipped >300 units of small* parts in 1996"
+    replaces the half-of-stock predicate. Both INs become left-semi
+    joins; the inner aggregate's build side shrinks to qualifying
+    suppliers before touching the supplier table. Quantity sums are
+    integer-exact so the HAVING boundary is engine-stable.
+    """
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_4")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    sd = F.col("l_shipdate").cast("date")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (sd >= F.lit("1996-01-01").cast("date"))
+        & (sd < F.lit("1997-01-01").cast("date"))
+    )
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n.select("n_nationkey")),
+              s.s_nationkey == F.col("n_nationkey"), "left_semi")
+        .select("s_name", duck_round(F.col("s_acctbal"), 2).alias("acctbal"))
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS self-joins on lineitem.
+
+    Adapted (no receipt/commit dates): "the only supplier who returned
+    lines in a finished multi-supplier order". The two correlated
+    quantified predicates collapse into ONE per-order aggregate —
+    distinct suppliers and distinct returning suppliers — instead of two
+    self-joins: a qualifying l1 needs ``n_supp > 1`` (EXISTS another
+    supplier) and ``n_ret_supp == 1`` (no OTHER returning supplier,
+    since l1 itself returns). One extra lineitem shuffle total, versus
+    two O(lineitem²)-risk self-joins; at 100 TB both paths partition on
+    l_orderkey so AQE coalesces them into the same exchange.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_ret_supp"),
+    )
+    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(o.select("o_orderkey")),
+              li.l_orderkey == F.col("o_orderkey"), "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    return (
+        l1.join(order_stats, "l_orderkey")
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_ret_supp") == 1))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
