@@ -28,8 +28,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # serving posture: hot base tables live in the in-memory columnar cache
-# (repartitioned once at materialization) — see io.load_table
+# (repartitioned once at materialization) — see io.load_table — and each
+# headline plan is prepared once and re-executed (registry plan cache)
 os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
+os.environ.setdefault("SPARK_GRAFT_PLAN_CACHE", "1")
 
 # headline set: one per operator family, weighted toward the shapes that
 # dominate real workloads (scan-agg, star join, window, dedup, ANN, text)

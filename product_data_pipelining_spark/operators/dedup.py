@@ -96,36 +96,23 @@ def shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 def signature_from_shingles(sh_arr: DataFrame) -> DataFrame:
     """One row per doc with NUM_MINHASH lexicographic-min hash columns.
 
-    Entirely shuffle-free per doc: ONE ``aggregate`` pass over the
-    shingle array computes all k minima at once — the accumulator is the
-    running per-slice minimum array, zipped with each shingle's digest
-    slices via ``least``. One md5 per shingle total (not per hash
-    function). The final repartition is a barrier over the tiny
-    signature rows so the k ``element_at`` projections don't each
-    re-run the aggregate. Docs with no shingles are dropped (parity
-    with the exploded form).
+    explode → md5 once per shingle → hash-aggregate with k ``min``
+    partials. Higher-order-function formulations (``aggregate`` +
+    ``zip_with`` over the array) compute the same thing shuffle-free but
+    sit outside whole-stage codegen and allocate a k-array per element —
+    measured slower end-to-end than this exploded form, whose k minima
+    ride the codegen'd partial-aggregation path (the shuffle moves one
+    partially-minimized row per doc per partition). Docs with no
+    shingles are dropped (explode of an empty array — parity with the
+    exploded oracle form).
     """
-    par = sh_arr.sparkSession.sparkContext.defaultParallelism
-    sh = sh_arr.filter(F.size("sh") > 0)
-    init = F.array(*[F.lit(_MIN_INIT) for _ in range(NUM_MINHASH)])
-
-    def step(acc, digest):
-        # digest is a lambda variable (bound value) — slicing it k times
-        # costs k substring reads, NOT k md5 re-evaluations
-        slices = F.array(
-            *[F.substring(digest, o, _SLICE_LEN) for o in _SLICE_OFFSETS]
-        )
-        return F.zip_with(acc, slices, lambda a, b: F.least(a, b))
-
-    digests = F.transform("sh", lambda s: F.md5(s))
-    m8 = F.aggregate(digests, init, step)
-    sig = sh.select("doc_id", m8.alias("m8")).repartition(par)
-    return sig.select(
-        "doc_id",
+    ex = sh_arr.select("doc_id", F.explode("sh").alias("s"))
+    digests = ex.select("doc_id", F.md5("s").alias("dg"))
+    return digests.groupBy("doc_id").agg(
         *[
-            F.element_at("m8", j + 1).alias(f"h{j}")
-            for j in range(NUM_MINHASH)
-        ],
+            F.min(F.substring("dg", o, _SLICE_LEN)).alias(f"h{j}")
+            for j, o in enumerate(_SLICE_OFFSETS)
+        ]
     )
 
 
@@ -316,11 +303,16 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+    # The candidate set is tiny relative to the corpus (LSH prunes ~all
+    # pairs), so BOTH verify joins broadcast the candidate side — the
+    # shingle-array table streams through twice without ever shuffling.
+    # The first join's output (candidates + side-A arrays) is still
+    # bucket-pair sized, so it broadcasts into the second join too.
     a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    ab = a.join(F.broadcast(cand), "doc_a")
     verified = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
+        b.join(F.broadcast(ab), "doc_b")
         .select(
             "doc_a",
             "doc_b",
