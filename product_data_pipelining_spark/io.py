@@ -79,6 +79,19 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 # cached partition so trivial consumers don't pay 32-task scheduling
 _CACHE_SPREAD_BYTES = 2 * 1024 * 1024
 
+# Serving layout: hash-cluster each hot fact table on its natural key —
+# the in-memory analog of a bucketed table. Windows, groupBys, and
+# joins whose keys start with the cluster key inherit the partitioning
+# (HashPartitioning(k) satisfies ClusteredDistribution(k, ...)), so
+# sessionization / upsert / per-order rollups run exchange-free. The
+# keys are high-cardinality and uniform, so load balance matches
+# round-robin.
+_SERVING_CLUSTER_KEYS: dict[str, tuple[str, ...]] = {
+    "events": ("user_id",),
+    "lineitem": ("l_orderkey",),
+    "documents": ("doc_id",),
+}
+
 
 def _cached(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name)
@@ -90,11 +103,14 @@ def _cached(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> DataF
         size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
     except OSError:
         size = 0
-    if (
-        size >= _CACHE_SPREAD_BYTES
-        and df.rdd.getNumPartitions() < sc.defaultParallelism
+    cluster = _SERVING_CLUSTER_KEYS.get(name)
+    if size >= _CACHE_SPREAD_BYTES and (
+        cluster or df.rdd.getNumPartitions() < sc.defaultParallelism
     ):
-        df = df.repartition(sc.defaultParallelism)
+        if cluster:
+            df = df.repartition(sc.defaultParallelism, *cluster)
+        else:
+            df = df.repartition(sc.defaultParallelism)
     df = df.cache()
     _TABLE_CACHE[key] = df
     return df

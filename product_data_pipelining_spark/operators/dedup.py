@@ -88,9 +88,11 @@ def shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), force=True
     )
     par = docs.sparkSession.sparkContext.defaultParallelism
+    # hash (not round-robin) so the downstream signature groupBy and any
+    # doc-keyed join inherit the partitioning instead of re-shuffling
     return docs.select(
         "doc_id", shingles(tokens()).alias("sh")
-    ).repartition(par)
+    ).repartition(par, "doc_id")
 
 
 def signature_from_shingles(sh_arr: DataFrame) -> DataFrame:
