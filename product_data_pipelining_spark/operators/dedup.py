@@ -399,3 +399,82 @@ def dd05_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash16",
         F.count("*").over(Window.partitionBy("simhash16")).alias("bucket_size"),
     )
+
+
+def _sql_components() -> str:
+    # closure-based components: reach(a,b) = b reachable from a; the
+    # component id is the minimum reachable doc. UNION (not UNION ALL)
+    # dedups the recursive frontier so the CTE terminates.
+    return f"""
+    WITH RECURSIVE pairs AS ({_sql_lsh_pairs()}),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_a, doc_a FROM (SELECT DISTINCT doc_a FROM edges)
+      UNION
+      SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a
+    )
+    SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a
+    """
+
+
+@register("dd06_neardup_components", oracle=_sql_components())
+def dd06_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: connected components over LSH pairs.
+
+    Pairwise near-dup output (dd04) is not yet a dedup decision — A~B
+    and B~C must collapse into ONE keep-group even when A~C was never
+    tested. This is min-label propagation to a fixpoint: each node's
+    label becomes the min of its own and its neighbors' labels, iterated
+    until the label sum stops changing (monotone + bounded ⇒ converges,
+    in O(component diameter) rounds — near-dup clusters are shallow).
+    The iterative loop is genuinely non-SQL (the oracle uses DuckDB's
+    recursive CTE closure, which is O(|component|²) rows and only viable
+    because near-dup components are tiny); Spark-side each round is one
+    join + groupBy-min on the edge list, the same plan GraphFrames'
+    connected-components uses per superstep. At 100 TB: persist each
+    round, localCheckpoint every few rounds to cut lineage, and switch
+    to the large-star/small-star algorithm if components stop being
+    shallow.
+    """
+    pairs = dd04_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(20):  # diameter bound; near-dup clusters are shallow
+        nbr = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.doc_a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )

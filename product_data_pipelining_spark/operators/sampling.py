@@ -1,0 +1,95 @@
+"""Deterministic sampling and dataset splitting.
+
+Training-data pipelines need samples that are *stable across runs,
+partitionings, and engines* — ``df.sample()`` (seeded per-partition RNG)
+changes membership whenever the scan splits differently, which is every
+time the cluster size changes. The operators here hash a stable key
+(md5 over the stringified id — identical hex in Spark and DuckDB) and
+bucket on the digest, so membership is a pure function of the row: the
+same document lands in the same split on a laptop and on a
+1000-executor cluster. This is the shard-stable analog of the
+reference's deterministic first-seen ingest rules
+(``portfolio_app/scripts/main_pipeline.py:184,206-209``).
+
+Map-side only: no shuffle — the hash, bucket, and filter all ride the
+scan, and any downstream aggregate sees a pre-filtered stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+def hash_bucket(key: Column) -> Column:
+    """First hex nibble (0-f) of md5 over the stringified key: 16
+    equal-probability, engine-portable buckets."""
+    return F.substring(F.md5(key.cast("string")), 1, 1)
+
+
+def _sql_bucket(expr: str) -> str:
+    return f"substr(md5(CAST({expr} AS VARCHAR)), 1, 1)"
+
+
+@register(
+    "smp01_hash_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_sql_bucket("doc_id")} <= 'b' THEN 'train'
+                WHEN {_sql_bucket("doc_id")} <= 'd' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def smp01_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (12/2/2 of 16 hash buckets).
+
+    Membership depends only on doc_id — re-running at any scale or
+    partitioning reproduces the split exactly, and a doc can never leak
+    between train and test across pipeline versions. Pure projection:
+    zero shuffles, pushed alongside the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        F.when(b <= "b", "train")
+        .when(b <= "d", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "smp02_stratified_downsample",
+    oracle=f"""
+    SELECT event_id, event_type, user_id
+    FROM events
+    WHERE {_sql_bucket("event_id")} <
+          CASE event_type WHEN 'click' THEN '4'
+                          WHEN 'view' THEN '1'
+                          ELSE 'g' END
+    """,
+)
+def smp02_stratified_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic downsampling: per-class keep rates.
+
+    The majority classes are thinned (views to 1/16, clicks to 4/16)
+    while rare event types are kept whole ('g' sorts above every hex
+    nibble) — the classic class-rebalancing pass before training.
+    Same stability guarantee as smp01: the kept set is a function of
+    event_id alone. Map-side filter, no shuffle; at 100 TB the filter
+    runs inside the scan stage and the dropped rows never leave the
+    reader.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = hash_bucket(F.col("event_id"))
+    rate = (
+        F.when(F.col("event_type") == "click", F.lit("4"))
+        .when(F.col("event_type") == "view", F.lit("1"))
+        .otherwise(F.lit("g"))
+    )
+    return ev.filter(b < rate).select("event_id", "event_type", "user_id")

@@ -284,3 +284,70 @@ def tx05_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint")
     )
+
+
+@register(
+    "tx06_fuzzy_name_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def tx06_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: near-identical name pairs by edit distance.
+
+    Dedup-by-typo for catalog strings (the reference's product names
+    arrive from a live API with inconsistent casing/spacing,
+    ``main_pipeline.py:256-268``). Distinct-first is the scale move: the
+    quadratic levenshtein runs over the unique-name set (vocabulary-
+    sized, broadcastable), never over the row count. levenshtein is
+    JVM-side in Spark and identical by definition across engines.
+    """
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .filter(dist <= 3)
+        .select("name_a", "name_b", dist.cast("long").alias("edit_dist"))
+    )
+
+
+@register(
+    "tx07_token_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+    )
+    SELECT tok, n, rnk FROM (
+      SELECT tok, n, rank() OVER (ORDER BY n DESC, tok) AS rnk FROM freq
+    ) WHERE rnk <= 20
+    """,
+)
+def tx07_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency top-k (vocabulary head).
+
+    explode → count (map-side partial, one shuffle on token) → global
+    rank over the *vocabulary-sized* frequency table. The single-
+    partition rank window is safe because its input is |vocab|, not
+    |corpus| — at 100 TB the frequency table is still small; were it
+    not, the standard move is per-partition top-k then re-rank the
+    k·partitions survivors. Ties rank identically in both engines via
+    the (count desc, token) total order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens()).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    rnk = F.rank().over(Window.orderBy(F.desc("n"), F.asc("tok")))
+    return freq.select("tok", "n", rnk.alias("rnk")).filter(F.col("rnk") <= 20)

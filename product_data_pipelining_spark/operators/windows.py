@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..functions.rounding import duck_round
+from ..functions.rounding import det_sum, duck_round, sql_det_sum
 from ..registry import register
 
 # lineitem carries duplicate (orderkey, linenumber) rows, so windows
@@ -181,3 +181,81 @@ def j04_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     without = c.join(o, cond, "left_anti").withColumn("has_orders", F.lit(0))
     return with_orders.unionByName(without)
+
+
+@register(
+    "a16_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n_orders,
+           {sql_det_sum("o_totalprice")} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def a16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() indicator columns.
+
+    Unlike ROLLUP (a14) the sets are hand-picked — the (priority-only)
+    slice is deliberately absent. Spark expands the sets in ONE pass
+    (Expand operator: each input row fans out once per set, partial
+    aggregation absorbs the fan-out map-side), so the shuffle carries
+    one partial row per (set, group) per partition — the same plan shape
+    a 100 TB cube build wants. GROUPING() disambiguates real NULL keys
+    from super-aggregate rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+        det_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@register(
+    "w02_distribution_frames",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(c_acctbal, 2) AS acctbal,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           ROUND(first_value(c_acctbal) OVER w, 2) AS seg_min_bal,
+           ROUND(nth_value(c_acctbal, 3) OVER w, 2) AS seg_third_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w02_distribution_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / ntile /
+    first_value / nth_value.
+
+    The (acctbal, custkey) ordering is total, so ntile's tie placement
+    and nth_value's default frame (up to current row) are deterministic
+    and engine-identical. percent_rank and cume_dist stay raw doubles:
+    both engines compute the same integer-ratio division, so the bits
+    match without rounding. One shuffle on the segment key serves all
+    five functions (same window spec).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        duck_round("c_acctbal", 2).alias("acctbal"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        duck_round(F.first("c_acctbal").over(w), 2).alias("seg_min_bal"),
+        duck_round(
+            F.nth_value("c_acctbal", 3).over(w), 2
+        ).alias("seg_third_bal"),
+    )

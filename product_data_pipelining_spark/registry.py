@@ -85,6 +85,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         profiling,
         relational,
+        sampling,
         scalar_ops,
         similarity,
         sqlapi,
