@@ -111,3 +111,52 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
     assert "event_type" not in scan["pushed_filters"], scan
     want = ev.filter(F.col("event_type") == "view").count()
     assert df.count() == want
+
+
+def test_q8_all_dimension_joins_broadcast(spark, sf_dir):
+    """Eight-way market-share join: lineitem must be the only shuffled
+    relation — every dimension side broadcasts."""
+    df = QUERIES["tpch_q8_market_share"].fn(spark, sf_dir)
+    kinds = join_kinds(df)
+    assert set(kinds) == {"BroadcastHashJoin"}, kinds
+
+
+def test_q2_window_min_single_lineitem_shuffle(spark, sf_dir):
+    """The correlated-MIN decorrelation must not re-scan lineitem: one
+    hash exchange (the window) plus broadcasts only."""
+    df = QUERIES["tpch_q2_min_cost_supplier"].fn(spark, sf_dir)
+    kinds = join_kinds(df)
+    assert "SortMergeJoin" not in kinds, kinds
+
+
+def test_grouping_sets_single_pass_partial_agg(spark, sf_dir):
+    """GROUPING SETS must expand in one pass with map-side partials —
+    one shuffle, not one per grouping set."""
+    df = QUERIES["a16_grouping_sets"].fn(spark, sf_dir)
+    assert has_partial_aggregation(df)
+    assert exchange_count(df) == 1
+
+
+def test_hash_split_is_pure_projection(spark, sf_dir):
+    """Deterministic splitting must ride the scan: zero shuffles."""
+    df = QUERIES["smp01_hash_split"].fn(spark, sf_dir)
+    assert exchange_count(df) == 0
+
+
+def test_clustered_cache_elides_window_exchange(spark, sf_dir):
+    """With the serving cache on, events is hash-clustered on user_id,
+    so sessionization's windows need no further exchange beyond the
+    cached layout itself."""
+    import os
+
+    from product_data_pipelining_spark import io as io_mod
+
+    os.environ["SPARK_GRAFT_CACHE_TABLES"] = "1"
+    try:
+        df = QUERIES["ev02_sessionize"].fn(spark, sf_dir)
+        # the only hash exchange allowed is the one materialized INSIDE
+        # the cached table layout; windows + final agg reuse it
+        assert exchange_count(df) <= 1
+    finally:
+        os.environ.pop("SPARK_GRAFT_CACHE_TABLES", None)
+        io_mod._TABLE_CACHE.clear()
