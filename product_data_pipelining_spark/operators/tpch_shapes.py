@@ -555,7 +555,7 @@ def tpch_q22_idle_rich_customers(
 
 from pyspark.sql import Window
 
-from ..functions.rounding import _scaled_long
+from ..functions.rounding import _scaled_long, _sql_scaled_long
 
 
 @register(
@@ -1005,4 +1005,73 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("_n_supp") > 1) & (F.col("_n_ret_supp") == 1))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH sup AS (
+      SELECT s_suppkey FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+    ), grouped AS (
+      SELECT l.l_partkey AS partkey,
+             CAST(SUM({_sql_scaled_long('l.l_extendedprice * l.l_quantity')})
+                  AS BIGINT) AS v_scaled
+      FROM lineitem l JOIN sup ON sup.s_suppkey = l.l_suppkey
+      GROUP BY l.l_partkey
+    )
+    SELECT partkey, ROUND(CAST(v_scaled AS DOUBLE) / 1e6, 2) AS part_value
+    FROM grouped
+    WHERE CAST(v_scaled AS DOUBLE) >
+          0.001 * (SELECT CAST(SUM(v_scaled) AS DOUBLE) FROM grouped)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group sums HAVING > fraction of the global total.
+
+    Adapted (no partsupp): lineitem doubles as the supply catalog, part
+    value = sum(extendedprice * quantity) over one nation's suppliers
+    (reference analog: the share-of-total gate in
+    ``portfolio_app/app.py:285``'s percent-of-group transform, lifted to
+    a global scalar subquery).
+
+    Scale shape: the nation→supplier semi side broadcasts, lineitem
+    shuffles ONCE to the per-partkey aggregate, and the global total is a
+    second aggregation over that same grouped exchange — Spark's
+    ReusedExchange dedups the subplan, so lineitem is scanned and
+    shuffled exactly once; the one-row total then broadcast-cross-joins
+    back. No partkey ever sits in a single-partition window.
+    """
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    grouped = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                _scaled_long(F.col("l_extendedprice") * F.col("l_quantity"))
+            ).alias("v_scaled")
+        )
+    )
+    total = grouped.agg(
+        F.sum("v_scaled").cast("double").alias("_total_scaled")
+    )
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("v_scaled").cast("double")
+            > F.lit(0.001) * F.col("_total_scaled")
+        )
+        .select(
+            "partkey",
+            duck_round(F.col("v_scaled").cast("double") / F.lit(1e6), 2).alias(
+                "part_value"
+            ),
+        )
     )

@@ -143,6 +143,24 @@ def test_hash_split_is_pure_projection(spark, sf_dir):
     assert exchange_count(df) == 0
 
 
+def test_q11_total_branch_reuses_grouped_exchange(spark, sf_dir):
+    """Q11's global-total scalar subquery must dedup against the
+    per-partkey aggregate: one lineitem scan, the second branch a
+    ReusedExchange. (Asserted with AQE off so the reuse is visible in
+    the compile-time plan; AQE's runtime stage cache keys on the same
+    canonicalized subtree.)"""
+    from product_data_pipelining_spark.plans.inspect import physical_plan
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES["tpch_q11_important_stock"].fn(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "ReusedExchange" in plan, plan[:2000]
+        assert plan.count("lineitem.parquet") == 1, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_clustered_cache_elides_window_exchange(spark, sf_dir):
     """With the serving cache on, events is hash-clustered on user_id,
     so sessionization's windows need no further exchange beyond the
