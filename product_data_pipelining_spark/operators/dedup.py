@@ -478,3 +478,56 @@ def dd06_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
+
+
+# Benchmark-contamination threshold: a corpus doc sharing this many
+# distinct shingles with the held-out set is flagged for removal. (Real
+# pipelines use 8-13-gram windows with threshold 1; the synthetic corpus
+# is short word soup, so 3-gram shingles + a small count keep the
+# flagged set non-degenerate.)
+_CONTAM_MIN_SHARED = 2
+
+
+@register(
+    "dd07_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM toks
+    ), bench AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT c.doc_id, COUNT(*) AS shared_shingles
+      FROM sh c JOIN bench b ON c.s = b.s
+      WHERE c.doc_id % 97 <> 0
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, shared_shingles
+    FROM hits WHERE shared_shingles >= {_CONTAM_MIN_SHARED}
+    """,
+)
+def dd07_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs overlapping a held-out
+    evaluation set (here: every 97th doc stands in for the benchmark).
+
+    The standard eval-leakage scrub in training-data pipelines: shingle
+    both sides, inner-join corpus shingles to the *distinct* benchmark
+    shingle set, count distinct overlaps per corpus doc, and flag docs at
+    or above the threshold. The benchmark side is tiny relative to the
+    corpus (eval suites are fixed-size; the corpus is the 100 TB side),
+    so its deduped shingle set broadcasts and the corpus side never
+    shuffles — a map-side semi-join-with-count. Candidates already share
+    the exploded-shingle work table with dd02/dd04.
+    """
+    ex = _exploded_shingles(spark, sf_dir)
+    bench = (
+        ex.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    )
+    corpus = ex.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= _CONTAM_MIN_SHARED)
+    )

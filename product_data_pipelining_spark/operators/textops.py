@@ -351,3 +351,117 @@ def tx07_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rnk = F.rank().over(Window.orderBy(F.desc("n"), F.asc("tok")))
     return freq.select("tok", "n", rnk.alias("rnk")).filter(F.col("rnk") <= 20)
+
+
+# Synthetic-PII enrichment templates: the corpus itself is clean word
+# soup, so the redaction query first *plants* deterministic PII derived
+# from doc_id (identical string built on both engines), then scrubs it —
+# exercising the real pattern library end-to-end with a verifiable
+# oracle. Patterns stay in the Java-regex ∩ RE2 common subset (no
+# backrefs, no lookaround) so Spark and DuckDB match identically.
+_PII_EMAIL = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+
+
+@register(
+    "tx08_redact_pii",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}'))
+             + len(regexp_extract_all(text, '{_PII_PHONE}'))
+             AS n_redactions,
+           regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM enriched
+    """,
+)
+def tx08_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: regex scrub of emails/phones (training-data hygiene).
+
+    The corpus is synthetic and clean, so the query deterministically
+    plants one email + one phone per document (derived from ``doc_id``)
+    before scrubbing — the redaction machinery, not the planted data, is
+    the operator under test. All regex work is JVM-side
+    ``regexp_replace`` / ``regexp_count`` inside whole-stage codegen; at
+    100 TB this is a pure map stage — no shuffle, no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return enriched.select(
+        "doc_id",
+        (
+            F.regexp_count("text", F.lit(_PII_EMAIL))
+            + F.regexp_count("text", F.lit(_PII_PHONE))
+        ).alias("n_redactions"),
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "tx09_repetition_ratio",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS word_count,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 4) AS distinct_ratio,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top_word_share,
+           CASE WHEN CAST(COUNT(*) AS DOUBLE) / SUM(c) >= 0.3
+                 AND CAST(MAX(c) AS DOUBLE) / SUM(c) <= 0.2
+                THEN 1 ELSE 0 END AS passes_repetition
+    FROM counts GROUP BY doc_id
+    """,
+)
+def tx09_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filtering: distinct-word ratio + top-word share
+    (Gopher-style repetition rules for training corpora).
+
+    explode → per-(doc, word) count → per-doc re-aggregate. Both
+    aggregations keep map-side partials; the second groupBy's keys are a
+    prefix of the first's, so Spark reuses the (doc_id, w) partitioning
+    — one wide shuffle of the exploded corpus, one narrow one of the
+    per-word counts. No per-doc data structure ever exceeds the
+    vocabulary of a single document.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokens()).alias("w"))
+    counts = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    distinct_ratio = F.count("*").cast("double") / F.sum("c")
+    top_share = F.max("c").cast("double") / F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("word_count"),
+        duck_round(distinct_ratio, 4).alias("distinct_ratio"),
+        duck_round(top_share, 4).alias("top_word_share"),
+        F.when((distinct_ratio >= 0.3) & (top_share <= 0.2), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("passes_repetition"),
+    )

@@ -37,11 +37,23 @@ def get_spark(
     cheap.
     """
     cpus = cpus or DEFAULT_CPUS
+    # Serving profile (SPARK_GRAFT_AQE=0 / SPARK_GRAFT_SHUFFLE_PARTITIONS=n):
+    # AQE's per-stage materialization costs one scheduler job + a driver
+    # replan round-trip per exchange — at cluster scale that latency is
+    # noise against multi-minute stages, but for sub-second interactive
+    # queries over cached small tables it IS the runtime (measured 2-6x
+    # on the sf0.1 headline set). Dashboards/bench therefore run with
+    # static planning and partitions sized to the actual data volume;
+    # batch/cluster paths keep the adaptive defaults below.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "1") != "0"
+    shuffle_partitions = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus)
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         # --- adaptive execution: the scale story ---
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # coalesce by target size, not by keeping parallelism: a shuffle
@@ -51,8 +63,9 @@ def get_spark(
         # scheduling overhead — it never caps big-stage parallelism.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         # start high, let AQE coalesce down — on a 1000-executor cluster the
-        # initial number should be ~2-3x total cores; locally core count.
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        # initial number should be ~2-3x total cores; locally core count
+        # (or the serving profile's explicit count).
+        .config("spark.sql.shuffle.partitions", shuffle_partitions)
         # --- pandas/Arrow boundary ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
