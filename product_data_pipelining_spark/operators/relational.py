@@ -893,3 +893,74 @@ def ev01_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         det_sum("value").alias("total_value"),
     )
+
+
+@register(
+    "ev03_props_json_extract",
+    oracle=f"""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           {sql_det_sum("value")} AS total_value
+    FROM events
+    GROUP BY event_type, k_bucket
+    """,
+)
+def ev03_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured event payloads: JSON path extraction + rollup.
+
+    The reference keeps its nested payload as a serialized JSON string
+    and extracts with a path (``stg_products.sql:5``); events' ``props``
+    gets the same treatment at stream scale. ``get_json_object`` is
+    JVM-side codegen — the parse happens inside the scan's project, so
+    the shuffle carries only (type, bucket) pairs, never the raw JSON.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket"),
+    ).agg(
+        F.count("*").alias("n"),
+        det_sum("value").alias("total_value"),
+    )
+
+
+@register(
+    "ev04_sliding_windows",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP))
+                      - (s.shift * INTERVAL 1 HOUR),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_det_sum("value")} AS total_value
+    FROM events, (SELECT unnest([0, 1]) AS shift) s
+    GROUP BY 1, event_type
+    """,
+)
+def ev04_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 2-hour windows every hour.
+
+    ``F.window(ts, '2 hours', '1 hour')`` replicates each event into
+    size/slide = 2 windows inside the project — the batch twin of the
+    streaming hopping-window aggregation, and the same
+    replicate-then-group shape the oracle builds with an unnested shift
+    list. Replication happens map-side; the shuffle carries one partial
+    per (window, type) per partition, independent of event count.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            det_sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -143,6 +143,56 @@ def test_hash_split_is_pure_projection(spark, sf_dir):
     assert exchange_count(df) == 0
 
 
+def test_bucketed_join_and_agg_read_without_shuffle(spark, sf_dir, tmp_path):
+    """Tables bucketed on the join key must join AND aggregate with zero
+    runtime exchanges — the write-time shuffle is the only one ever paid."""
+    from product_data_pipelining_spark.io import write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}'")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(li, "bkt.lineitem_b", ("l_orderkey",), 8, ("l_orderkey",))
+    write_bucketed(o, "bkt.orders_b", ("o_orderkey",), 8, ("o_orderkey",))
+    try:
+        lb, ob = spark.table("bkt.lineitem_b"), spark.table("bkt.orders_b")
+        # force the non-broadcast path so the bucket layout is what
+        # elides the exchange, not a broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        assert exchange_count(j) == 0, physical_plan_excerpt(j)
+        assert "SortMergeJoin" in join_kinds(j)
+        # correctness: same row count as the unbucketed join
+        want = (
+            load_table(spark, sf_dir, "lineitem")
+            .join(
+                load_table(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select("l_orderkey")
+            .distinct()
+            .count()
+        )
+        assert j.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bkt.lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
+
+
+def physical_plan_excerpt(df):
+    from product_data_pipelining_spark.plans.inspect import physical_plan
+
+    return physical_plan(df)[:2000]
+
+
 def test_q11_total_branch_reuses_grouped_exchange(spark, sf_dir):
     """Q11's global-total scalar subquery must dedup against the
     per-partkey aggregate: one lineitem scan, the second branch a
