@@ -189,3 +189,58 @@ def j06_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         (F.col("c_ts_us") - F.col("p_ts_us")).alias("lag_us"),
     )
+
+
+@register(
+    "tp01_scd2_history",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM (
+        SELECT *, lag(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM ev
+      ) WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    """,
+)
+def tp01_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from a change stream.
+
+    The reference carries price validity ranges
+    (``effective_date``/``expiration_date``, ``main_pipeline.py:312-313``);
+    this generalizes that pattern: collapse consecutive duplicate states
+    per key (lag), then derive each version's validity interval (lead)
+    and current flag — the standard slowly-changing-dimension build.
+    Both window passes and the implicit dedup share ONE hash shuffle on
+    user_id (identical partitioning and ordering), so at 100 TB the
+    cost is a single exchange of the change stream, never a self-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    nxt = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )

@@ -25,9 +25,11 @@ def scans(df: DataFrame) -> list[dict[str, str]]:
     for line in physical_plan(df).splitlines():
         if "FileScan parquet" not in line:
             continue
-        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", line)
+        # Spark truncates long metadata lists at maxMetadataStringLength
+        # with a trailing "..." and NO closing bracket — accept either
+        pushed = re.search(r"PushedFilters: \[(.*?)(?:\]|\.\.\.)", line)
         schema = re.search(r"ReadSchema: (struct<[^>]*>)", line)
-        part = re.search(r"PartitionFilters: \[([^\]]*)\]", line)
+        part = re.search(r"PartitionFilters: \[(.*?)(?:\]|\.\.\.)", line)
         out.append(
             {
                 "pushed_filters": pushed.group(1) if pushed else "",
@@ -48,10 +50,18 @@ def join_kinds(df: DataFrame) -> list[str]:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges (excludes broadcast exchanges)."""
+    """Number of shuffle exchanges (excludes broadcast exchanges).
+
+    Matches the shuffle partitionings only — a case-insensitive
+    ``Exchange hash`` would also swallow ``BroadcastExchange
+    HashedRelationBroadcastMode`` and overcount every broadcast join.
+    """
     return len(
-        re.findall(r"Exchange (?:hash|range|rangepartitioning|RoundRobin)",
-                   physical_plan(df), flags=re.IGNORECASE)
+        re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|"
+            r"RoundRobinPartitioning|SinglePartition)",
+            physical_plan(df),
+        )
     )
 
 

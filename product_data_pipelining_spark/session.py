@@ -80,6 +80,9 @@ def get_spark(
         # deterministic timestamp semantics everywhere (streaming event
         # time, window boundaries) regardless of host timezone
         .config("spark.sql.session.timeZone", "UTC")
+        # plan-string metadata (PushedFilters/ReadSchema lists) untruncated
+        # so plan inspection/reporting sees the whole story
+        .config("spark.sql.maxMetadataStringLength", "2000")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -130,3 +130,56 @@ def streaming_windowed_counts(events_stream: DataFrame) -> DataFrame:
             "total_value",
         )
     )
+
+
+ATTRIBUTION_WINDOW_SECONDS = 1800  # purchase attributed to a click ≤30 min prior
+
+
+def streaming_attribution_join(
+    clicks_stream: DataFrame, purchases_stream: DataFrame
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    click(s) by the same user within the preceding 30 minutes.
+
+    The canonical Structured Streaming two-stream join: watermarks on
+    BOTH sides plus a bounded time-range predicate let Spark expire
+    per-key state — without the interval bound the join state would
+    grow forever. State is keyed by user_id, so at production rates the
+    store holds ≤ (watermark + window) of events per user, independent
+    of total stream length. The batch twin (same predicate as a plain
+    join) is the oracle in tests.
+    """
+    c = (
+        clicks_stream.withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases_stream.withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts")
+            + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_SECONDS} SECONDS")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -144,3 +144,45 @@ def test_streaming_dedup_bounded_state(spark, replay_dir):
     )
     n_unique = spark.read.parquet(replay_dir).select("event_id").distinct().count()
     assert got.count() == n_unique
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, replay_dir):
+    from product_data_pipelining_spark.streaming.sessionize import (
+        ATTRIBUTION_WINDOW_SECONDS,
+        streaming_attribution_join,
+    )
+
+    clicks = _stream_source(spark, replay_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = _stream_source(spark, replay_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = _run_stream(
+        spark, streaming_attribution_join(clicks, purchases), "attrib"
+    )
+    batch = spark.read.parquet(replay_dir)
+    bc = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    bp = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = bc.join(
+        bp,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts")
+            + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_SECONDS} SECONDS")
+        ),
+    )
+    g = {(r["click_id"], r["purchase_id"]) for r in got.collect()}
+    w = {(r["click_id"], r["purchase_id"]) for r in want.collect()}
+    assert w, "no attributable pairs in fixture"
+    assert g == w
