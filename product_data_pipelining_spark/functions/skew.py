@@ -71,3 +71,40 @@ def salted_distinct_count(
         F.countDistinct(c).alias("__d")
     )
     return phase1.groupBy(*keys).agg(F.sum("__d").cast("long").alias(out_name))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi join: salt the big side, replicate the small side.
+
+    For joins where one key holds a double-digit share of the big side
+    and the small side is too large to broadcast: the big (left) side
+    gets a random salt in [0, n_salts); the small (right) side is
+    replicated once per salt value via an exploded literal array. Both
+    sides then join on (key, salt) — the hot key's rows spread over
+    ``n_salts`` reducers instead of one straggler task. Replication
+    multiplies the small side's shuffle volume by ``n_salts``, which is
+    the explicit price of the spread; AQE's skew-join split does this
+    adaptively for detected skew, while this operator guarantees it for
+    *known* hot keys (and composes with any join type the replicate
+    side allows).
+    """
+    salted_left = left.withColumn(
+        _SALT, (F.rand(seed=0) * n_salts).cast("int")
+    )
+    replicated_right = right.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_left.join(
+        replicated_right,
+        (salted_left[left_key] == replicated_right[right_key])
+        & (salted_left[_SALT] == replicated_right[_SALT]),
+        how,
+    )
+    return out.drop(_SALT)

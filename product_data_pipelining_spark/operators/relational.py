@@ -964,3 +964,63 @@ def ev04_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "chk01_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk, COUNT(*) AS orphans
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer' AS fk, COUNT(*) AS orphans
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation' AS fk, COUNT(*) AS orphans
+    FROM supplier s
+    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                      WHERE n.n_nationkey = s.s_nationkey)
+    """,
+)
+def chk01_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts per foreign key.
+
+    The relational generalization of the reference's 16 dbt
+    unique/not_null checks (``schema.yml``, run as zero-rows-violating
+    queries): each FK is an anti join against its parent's key set,
+    reduced to a count. Anti joins build a hash set of parent keys —
+    parents here are the smaller side, so they broadcast and the fact
+    scans never shuffle; the union of three one-row aggregates is
+    driver-trivial. This is the always-on data-quality gate a
+    production pipeline runs after every load.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+
+    def orphans(child, key, parent, pkey, label):
+        return (
+            child.join(
+                F.broadcast(parent.select(pkey)),
+                F.col(key) == F.col(pkey),
+                "left_anti",
+            )
+            .agg(F.count("*").alias("orphans"))
+            .select(F.lit(label).alias("fk"), "orphans")
+        )
+
+    return (
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionAll(
+            orphans(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer")
+        )
+        .unionAll(
+            orphans(s, "s_nationkey", n, "n_nationkey",
+                    "supplier.s_nationkey->nation")
+        )
+    )

@@ -93,3 +93,34 @@ def smp02_stratified_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("g"))
     )
     return ev.filter(b < rate).select("event_id", "event_type", "user_id")
+
+
+@register(
+    "smp03_priority_sample_topk",
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS priority
+    FROM documents
+    ORDER BY priority, doc_id
+    LIMIT 100
+    """,
+)
+def smp03_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample without replacement via hash top-k.
+
+    Priority sampling: give every row an md5-of-key priority and keep
+    the k smallest — a uniform k-sample that is reproducible across
+    runs, engines, and cluster sizes (no ``rand()``). Spark executes
+    the sort+limit as TakeOrderedAndProject: each partition keeps only
+    its local top-k, and one tiny merge of k·partitions rows finishes —
+    no global sort of the corpus ever happens, so the same plan holds
+    on 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )

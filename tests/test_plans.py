@@ -228,3 +228,27 @@ def test_clustered_cache_elides_window_exchange(spark, sf_dir):
     finally:
         os.environ.pop("SPARK_GRAFT_CACHE_TABLES", None)
         io_mod._TABLE_CACHE.clear()
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from product_data_pipelining_spark.functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    got = (
+        salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=4)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    want = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    g = {(r["o_orderpriority"], r["n"], round(r["q"], 6)) for r in got.collect()}
+    w = {(r["o_orderpriority"], r["n"], round(r["q"], 6)) for r in want.collect()}
+    assert g == w
