@@ -259,3 +259,84 @@ def w02_distribution_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nth_value("c_acctbal", 3).over(w), 2
         ).alias("seg_third_bal"),
     )
+
+
+@register(
+    "w03_range_frames",
+    oracle=f"""
+    SELECT user_id, event_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ), 2) AS rolling_1h_value,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS rolling_1h_events
+    FROM events
+    """,
+)
+def w03_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frames: per-user 1-hour rolling sums.
+
+    The time-series rolling aggregate: the frame is defined by the
+    ordering VALUE (events within the last hour), not a row count, so
+    ties and irregular sampling are handled correctly.
+    ``Window.rangeBetween`` needs a numeric ordering key — the
+    epoch-microsecond column stands in for the timestamp with -3600s
+    expressed in the same unit. One shuffle on user_id; rows with equal
+    timestamps share a frame on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        duck_round(F.sum("value").over(w), 2).alias("rolling_1h_value"),
+        F.count("*").over(w).alias("rolling_1h_events"),
+    )
+
+
+@register(
+    "a17_cube_type_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(27,10))) AS DOUBLE), 2)
+             AS sum_qty,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a17_cube_type_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping sets (detail, each margin, grand total).
+
+    Completes the grouping-sets family next to ROLLUP (a14) and
+    explicit GROUPING SETS (a16). Spark expands the cube in a single
+    pass with map-side partials — one shuffle regardless of the number
+    of sets; GROUPING() flags disambiguate real nulls from subtotal
+    rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            duck_round(
+                F.sum(F.col("l_quantity").cast("decimal(27,10)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )

@@ -186,3 +186,32 @@ def test_stream_stream_attribution_join_matches_batch(spark, replay_dir):
     w = {(r["click_id"], r["purchase_id"]) for r in want.collect()}
     assert w, "no attributable pairs in fixture"
     assert g == w
+
+
+def test_foreach_batch_upsert_matches_batch_last_writer(spark, replay_dir, tmp_path):
+    from product_data_pipelining_spark.streaming.stateful import (
+        foreach_batch_upsert,
+    )
+
+    target = str(tmp_path / "upsert_target")
+    src = _stream_source(spark, replay_dir).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    q = foreach_batch_upsert(src, target, ["user_id", "event_type"], "ts")
+    q.awaitTermination(180)
+    got = spark.read.parquet(target)
+    batch = spark.read.parquet(replay_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").desc())
+    want = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    assert got.count() == want.count()
+    # same (user, type) -> latest ts mapping; event_id may differ on ts
+    # ties, so compare the deterministic columns
+    g = {(r["user_id"], r["event_type"], r["ts"]) for r in got.collect()}
+    x = {(r["user_id"], r["event_type"], r["ts"]) for r in want.collect()}
+    assert g == x
