@@ -266,8 +266,15 @@ def tx05_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``least``), so the whole operator is one narrow map stage: no
     explode-shuffle until the final per-fingerprint grouping a consumer
     adds.
+
+    The gram/hash/min chain costs ~100x the scan per byte, so the scan
+    is force-spread across the cluster even when the file arrives as a
+    single split — compute-bound maps size parallelism to CPU, not to
+    input bytes.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(
+        load_table(spark, sf_dir, "documents"), force=True
+    )
     toks = tokens()
     grams = positional_grams(toks)
     hs = F.transform(grams, lambda g: F.md5(g))
