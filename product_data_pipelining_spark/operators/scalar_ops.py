@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import duck_round
 from ..io import load_table
 from ..registry import register
 
@@ -118,4 +119,159 @@ def dt01_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus_30d"),
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+    )
+
+
+@register(
+    "p13_string_functions",
+    oracle="""
+    SELECT s_suppkey,
+           upper(s_name) AS name_upper,
+           lower(s_name) AS name_lower,
+           CAST(length(s_name) AS INT) AS name_len,
+           trim(concat('  ', s_name, '  ')) AS trimmed,
+           lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS padded_key,
+           substring(s_name, 1, 4) AS prefix,
+           replace(s_name, '#', '-') AS dehashed,
+           concat_ws('|', s_name, CAST(s_nationkey AS VARCHAR)) AS joined,
+           CAST(strpos(s_name, '#') AS INT) AS hash_pos,
+           reverse(s_name) AS reversed
+    FROM supplier
+    """,
+)
+def p13_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family: case, length, trim, pad, substring,
+    replace, concat, position, reverse.
+
+    Completes §2.8's scalar families (math/conditional/date/JSON/regex
+    already covered) — every function here is whole-stage-codegen
+    JVM-side with agreed cross-engine semantics (1-based substring and
+    strpos/instr, space-trim only).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.upper("s_name").alias("name_upper"),
+        F.lower("s_name").alias("name_lower"),
+        F.length("s_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("s_name"), F.lit("  "))).alias(
+            "trimmed"
+        ),
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("padded_key"),
+        F.substring("s_name", 1, 4).alias("prefix"),
+        F.replace(F.col("s_name"), F.lit("#"), F.lit("-")).alias("dehashed"),
+        F.concat_ws(
+            "|", F.col("s_name"), F.col("s_nationkey").cast("string")
+        ).alias("joined"),
+        F.instr("s_name", "#").alias("hash_pos"),
+        F.reverse("s_name").alias("reversed"),
+    )
+
+
+@register(
+    "p14_unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, ROUND(val, 2) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             l_quantity, l_extendedprice, l_discount
+      FROM lineitem WHERE l_orderkey % 100 = 0
+    ) UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+    """,
+)
+def p14_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide measure columns to (measure, value) rows.
+
+    The inverse of a15's pivot — the standard reshape before generic
+    per-measure aggregation or plotting. Spark's ``unpivot`` expands
+    rows map-side (an Expand node, like grouping sets): no shuffle, no
+    UDF, output = rows x measures.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "__v",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        duck_round("__v", 2).alias("val"),
+    )
+
+
+@register(
+    "set03_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+         b AS (SELECT l_partkey AS k FROM lineitem WHERE l_linestatus = 'F')
+    SELECT 'except_all' AS op, k, COUNT(*) AS n FROM (
+      SELECT k FROM a EXCEPT ALL SELECT k FROM b
+    ) GROUP BY k
+    UNION ALL
+    SELECT 'intersect_all' AS op, k, COUNT(*) AS n FROM (
+      SELECT k FROM a INTERSECT ALL SELECT k FROM b
+    ) GROUP BY k
+    """,
+)
+def set03_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations: EXCEPT ALL / INTERSECT ALL.
+
+    Bag semantics (per-row multiplicity arithmetic) vs set02's distinct
+    semantics. Spark plans both as aggregate-on-counts — one shuffle on
+    the key, never a sort — identical to the SQL standard's
+    multiplicity rules; the grouped output keeps the comparison
+    order-free.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("k")
+    )
+    b = li.filter(F.col("l_linestatus") == "F").select(
+        F.col("l_partkey").alias("k")
+    )
+    ex = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    return ex.unionAll(ia)
+
+
+@register(
+    "p15_posexplode_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(t, 1) - 1 AS INT) AS pos,
+           unnest(t) AS tok
+    FROM (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents WHERE doc_id % 50 = 0
+    )
+    """,
+)
+def p15_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal explode: token stream with positions (LATERAL VIEW
+    posexplode).
+
+    Positions survive the flatten, which windowed NLP features
+    (skip-grams, positional encodings) require — a plain explode loses
+    them. Map-side row generation; no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    )
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
     )
