@@ -193,6 +193,35 @@ def write_table(
     writer.parquet(path)
 
 
+def write_format(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    """Sink to any lake interchange format (parquet / json / csv / orc).
+
+    The reference's DuckDB profile loads the ``parquet``/``json``/``s3``
+    extensions (``.dbt/profiles.yml:6-9``); here every format is a
+    one-line writer swap over the same DataFrame plan. CSV keeps a
+    header; JSON is JSONL (one object per line), the splittable layout
+    streams and bulk loads both read.
+    """
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.format(fmt).save(path)
+
+
+def read_format(spark: SparkSession, path: str, fmt: str, schema) -> DataFrame:
+    """Source from json/csv/parquet/orc with an EXPLICIT schema.
+
+    Schema-on-read inference costs a full extra pass and silently
+    drifts types between files; production scans always pin the
+    StructType (the reference declares DDL for every raw table the same
+    way, ``main_pipeline.py:281-322``).
+    """
+    r = spark.read.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.format(fmt).load(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -275,3 +275,51 @@ def p15_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(toks).alias("pos", "tok")
     )
+
+
+@register(
+    "p16_array_map_functions",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_sort(t[1:5]), ' ') AS first_sorted,
+           CAST(len(t) AS INT) AS n_toks,
+           t[1] AS first_tok,
+           t[len(t)] AS last_tok,
+           array_to_string(t[1:3], '-') AS joined2,
+           CAST(list_contains(t, 'spark') AS INT) AS has_spark,
+           array_to_string(list_sort(list_distinct(t[1:6])), ' ')
+             AS first_distinct
+    FROM (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents WHERE doc_id % 50 = 0
+    )
+    """,
+)
+def p16_array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family: slice, sort, size, element_at (head/tail),
+    join, contains, distinct.
+
+    All higher-order/array ops are JVM-side expressions — the engine's
+    nested-data surface never needs Python. Array-valued results are
+    serialized to strings for the oracle hash (the compare layer is
+    scalar-typed), with the distinct list canonically sorted first
+    because DuckDB's list_distinct does not preserve first-seen order.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    )
+    t = F.filter(F.split("text", " "), lambda x: x != "")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.sort_array(F.slice(t, 1, 5)), " ").alias(
+            "first_sorted"
+        ),
+        F.size(t).alias("n_toks"),
+        F.element_at(t, 1).alias("first_tok"),
+        F.element_at(t, -1).alias("last_tok"),
+        F.array_join(F.slice(t, 1, 3), "-").alias("joined2"),
+        F.array_contains(t, "spark").cast("int").alias("has_spark"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.slice(t, 1, 6))), " "
+        ).alias("first_distinct"),
+    )

@@ -155,3 +155,27 @@ def test_incremental_run_converges_to_full_refresh(spark, tmp_path):
         got = {tuple(map(str, r)) for r in incr[name].collect()}
         want = {tuple(map(str, r)) for r in full[name].collect()}
         assert got == want, f"{name}: incremental != full refresh"
+
+
+def test_format_roundtrip_json_csv_orc(spark, sf_dir, tmp_path):
+    """Every interchange format round-trips the same rows with the
+    declared schema (schema-on-read pinned, never inferred)."""
+    from product_data_pipelining_spark.io import (
+        load_table,
+        read_format,
+        write_format,
+    )
+
+    src = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+    want = [tuple(map(str, r)) for r in src.collect()]
+    for fmt in ("json", "csv", "orc"):
+        path = str(tmp_path / f"suppliers_{fmt}")
+        write_format(src, path, fmt)
+        back = read_format(spark, path, fmt, src.schema).orderBy("s_suppkey")
+        assert back.schema == src.schema, fmt
+        got = [tuple(map(str, r)) for r in back.collect()]
+        assert got == want, fmt
