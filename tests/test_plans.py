@@ -252,3 +252,40 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     g = {(r["o_orderpriority"], r["n"], round(r["q"], 6)) for r in got.collect()}
     w = {(r["o_orderpriority"], r["n"], round(r["q"], 6)) for r in want.collect()}
     assert g == w
+
+
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    from product_data_pipelining_spark.functions.approx import distinct_both
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = distinct_both(li, ["l_returnflag"], "l_partkey").collect()
+    assert rows
+    for r in rows:
+        exact, approx = r["exact_distinct"], r["approx_distinct"]
+        assert abs(approx - exact) <= max(0.05 * exact, 8), r
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir):
+    from product_data_pipelining_spark.functions.approx import (
+        approx_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = li.agg(
+        approx_quantiles("l_extendedprice", [0.25, 0.5, 0.75]).alias("q")
+    ).collect()[0]["q"]
+    exact = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.5, 0.75))"
+        ).alias("q")
+    ).collect()[0]["q"]
+    n = li.count()
+    vals = sorted(r[0] for r in li.select("l_extendedprice").collect())
+    for g, p in zip(got, [0.25, 0.5, 0.75]):
+        # rank-error contract: the sketch value's position in the sorted
+        # data is within 1/accuracy of the target rank
+        import bisect
+
+        rank = bisect.bisect_left(vals, g)
+        assert abs(rank - p * n) <= max(n / 10_000, 2) + 1, (g, p)
+    assert len(got) == len(exact) == 3
