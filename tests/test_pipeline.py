@@ -179,3 +179,37 @@ def test_format_roundtrip_json_csv_orc(spark, sf_dir, tmp_path):
         assert back.schema == src.schema, fmt
         got = [tuple(map(str, r)) for r in back.collect()]
         assert got == want, fmt
+
+
+def test_distributed_generator_deterministic_and_shuffle_free(spark):
+    """Same (n, seed) must yield the same multiset of rows at ANY
+    partition count, and the plan must be Range -> Project (no exchange)."""
+    from product_data_pipelining_spark.plans.inspect import exchange_count
+    from product_data_pipelining_spark.sources.generator import (
+        generate_documents,
+        generate_lineitem,
+        generate_orders,
+    )
+
+    o4 = generate_orders(spark, 2000, num_partitions=4)
+    o9 = generate_orders(spark, 2000, num_partitions=9)
+    assert exchange_count(o4) == 0
+    rows4 = sorted(map(str, o4.collect()))
+    rows9 = sorted(map(str, o9.collect()))
+    assert rows4 == rows9 and len(rows4) == 2000
+
+    li = generate_lineitem(spark, 500, num_partitions=5)
+    assert exchange_count(li) == 0
+    per_order = li.groupBy("l_orderkey").count().collect()
+    assert len(per_order) == 500
+    assert all(1 <= r["count"] <= 7 for r in per_order)
+    # deterministic across partitionings
+    li2 = sorted(map(str, generate_lineitem(spark, 500, num_partitions=11).collect()))
+    assert sorted(map(str, li.collect())) == li2
+
+    docs = generate_documents(spark, 300, num_partitions=3)
+    assert exchange_count(docs) == 0
+    got = docs.collect()
+    assert len(got) == 300
+    assert all(20 <= len(r["text"].split()) <= 60 for r in got)
+    assert all(r["n_chars"] == len(r["text"]) for r in got)
