@@ -183,3 +183,26 @@ def streaming_attribution_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def streaming_sliding_counts(events_stream: DataFrame) -> DataFrame:
+    """Streaming twin of ev04_sliding_windows: 2-hour windows every hour.
+
+    Same watermark/emission rules as the tumbling twin; each event is
+    replicated into size/slide = 2 open windows map-side, and state is
+    bounded by (watermark + window size) per key.
+    """
+    return (
+        events_stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            duck_round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -215,3 +215,27 @@ def test_foreach_batch_upsert_matches_batch_last_writer(spark, replay_dir, tmp_p
     g = {(r["user_id"], r["event_type"], r["ts"]) for r in got.collect()}
     x = {(r["user_id"], r["event_type"], r["ts"]) for r in want.collect()}
     assert g == x
+
+
+def test_streaming_sliding_counts_match_batch(spark, replay_dir):
+    from product_data_pipelining_spark.streaming.sessionize import (
+        streaming_sliding_counts,
+    )
+
+    src = _stream_source(spark, replay_dir)
+    got = _run_stream(spark, streaming_sliding_counts(src), "slide_counts")
+    batch = spark.read.parquet(replay_dir)
+    import datetime
+
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=1)
+    want = (
+        batch.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("window.end") <= F.lit(horizon))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    g = {(r["window_start"], r["event_type"]): r["n"] for r in got.collect()}
+    w = {(r["window_start"], r["event_type"]): r["n"] for r in want.collect()}
+    assert w, "horizon filtered everything"
+    assert g == w
