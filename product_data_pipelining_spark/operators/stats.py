@@ -1,0 +1,179 @@
+"""Statistical operators: group-wise top-k, deterministic moments, histograms.
+
+Beyond-reference coverage (the reference's statistics stop at AVG /
+MIN / MAX / exact percentiles — SURVEY.md §2.4); these are the shapes a
+training-data curation pipeline leans on: heavy hitters per key,
+correlation/dispersion profiling, and distribution histograms.
+
+Cross-engine float determinism: Spark and DuckDB sum doubles in
+different orders, so instead of comparing their ``corr``/``stddev``
+built-ins (Welford-style merges, order-dependent at the ULP level) the
+moment query accumulates *exact decimal* power sums — associative and
+partition-layout-independent — and derives the statistics with one
+identical double expression on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "a18_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           ROUND(o_totalprice, 2) AS total_price, rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def a18_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: top-3 orders by value within each priority class.
+
+    The canonical per-key top-k: ``row_number`` over (key, value desc)
+    then ``rn <= k``. Catalyst plans one shuffle on the partition key
+    and — because the rank filter is a window-group limit — pushes the
+    top-k *into* the sort (WindowGroupLimit), so each partition keeps
+    only k rows per key before and after the exchange; at 100 TB no
+    executor ever materializes a full group. Ties are impossible in the
+    ordering because ``o_orderkey`` completes a total order.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# x = l_extendedprice, y = l_quantity: positively correlated by
+# construction (extendedprice ~ price * quantity). Inputs carry <= 2
+# decimal places, so DECIMAL(12,2) is exact; products widen to scale 4
+# and sums stay decimal — associative, no float until the finish.
+_MOMENT_SQL = """
+WITH sums AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sx,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sy,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxx,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS syy,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS price_qty_corr,
+       ROUND(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6)
+         AS price_stddev
+FROM sums
+"""
+
+
+@register("pr02_numeric_stats", oracle=_MOMENT_SQL)
+def pr02_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group correlation and stddev from exact decimal power sums.
+
+    One map-side-combined aggregation collects the five power sums per
+    group (same shuffle profile as any group-agg: one exchange on the
+    3-value key); the driver-free finishing ``select`` derives
+    Pearson r and sample stddev with the textbook formulas. Because
+    the sums are exact decimals and the finishing expression is the
+    *same* double computation DuckDB runs, the results match bit-for-
+    bit — distributed summation order never leaks into the output,
+    which `F.corr`/`F.stddev` cannot promise across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dx = F.col("l_extendedprice").cast("decimal(12,2)")
+    dy = F.col("l_quantity").cast("decimal(12,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (nd * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y)), 6
+        ).alias("price_qty_corr"),
+        F.round(F.sqrt(var_x / (nd * (nd - 1))), 6).alias("price_stddev"),
+    )
+
+
+_BUCKET_WIDTH = 60_000.0
+_N_BUCKETS = 10
+
+
+@register(
+    "pr03_histogram",
+    oracle=f"""
+    SELECT LEAST(CAST(FLOOR(o_totalprice / {_BUCKET_WIDTH}) AS BIGINT),
+                 {_N_BUCKETS - 1}) AS bucket,
+           LEAST(CAST(FLOOR(o_totalprice / {_BUCKET_WIDTH}) AS BIGINT),
+                 {_N_BUCKETS - 1}) * {_BUCKET_WIDTH} AS bucket_lo,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def pr03_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of order totals (10 buckets, clamped).
+
+    Binning is a pure map expression (``floor(x / width)`` — one double
+    division, deterministic across engines) so the whole histogram is a
+    single map-side-combined count shuffle over at most ``_N_BUCKETS``
+    keys; output size is O(buckets) regardless of input scale, the
+    degenerate-skew-friendly shape (partial aggregation collapses each
+    task's rows to <=10 before the exchange).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(_BUCKET_WIDTH)).cast("bigint"),
+        F.lit(_N_BUCKETS - 1),
+    )
+    return (
+        orders.select(
+            bucket.alias("bucket"),
+            (bucket * F.lit(_BUCKET_WIDTH)).alias("bucket_lo"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

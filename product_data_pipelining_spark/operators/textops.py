@@ -15,7 +15,7 @@ Cross-engine determinism notes (these queries carry DuckDB oracles):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table, parallelize_scan
@@ -471,4 +471,63 @@ def tx09_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((distinct_ratio >= 0.3) & (top_share <= 0.2), F.lit(1))
         .otherwise(F.lit(0))
         .alias("passes_repetition"),
+    )
+
+
+@register(
+    "tx10_tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_sql_tokens()}) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE)
+               * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, df, ROUND(score, 6) AS score, rn FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def tx10_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF (rarity-weighted term salience).
+
+    Term frequency shuffles the exploded corpus once on (doc_id, tok);
+    document frequency re-aggregates the *already-distinct* (doc_id,
+    tok) pairs, so its count is a cheap second pass — and its output is
+    vocabulary-sized, which makes the tf⋈df join broadcastable at any
+    corpus scale. The corpus-size scalar rides the same broadcast
+    (1-row cross join, no ``collect``). IDF stays a pure ratio
+    ``n_docs / df`` — two exact int→double casts and one division, the
+    identical float sequence in both engines — rather than a ``log``
+    whose libm rounding is not cross-engine-portable. Final per-doc
+    top-3 is the WindowGroupLimit pattern of ``a18_topk_per_group``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf").cast("double") * (
+        F.col("n_docs").cast("double") / F.col("df").cast("double")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(F.broadcast(n))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tf", "df", F.round("score", 6).alias("score"), "rn")
     )

@@ -89,6 +89,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scalar_ops,
         similarity,
         sqlapi,
+        stats,
         temporal,
         tpch_shapes,
         windows,
