@@ -81,6 +81,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .models import pipeline_queries  # noqa: F401
     from .sources import payload_queries  # noqa: F401
     from .operators import (  # noqa: F401
+        cogroup,
         dedup,
         multimodal,
         profiling,
