@@ -289,3 +289,41 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
         rank = bisect.bisect_left(vals, g)
         assert abs(rank - p * n) <= max(n / 10_000, 2) + 1, (g, p)
     assert len(got) == len(exact) == 3
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """a18: the rank<=k filter must push into the sort (WindowGroupLimit)
+    so no executor materializes a full group — one exchange total."""
+    from product_data_pipelining_spark.plans.inspect import physical_plan
+
+    df = QUERIES["a18_topk_per_group"].fn(spark, sf_dir)
+    assert "WindowGroupLimit" in physical_plan(df)
+    assert exchange_count(df) == 1
+
+
+def test_moment_sums_single_shuffle_partial_agg(spark, sf_dir):
+    """pr02: five decimal power sums ride one map-side-combined exchange."""
+    df = QUERIES["pr02_numeric_stats"].fn(spark, sf_dir)
+    assert has_partial_aggregation(df)
+    assert exchange_count(df) == 1
+
+
+def test_tfidf_joins_stay_broadcast(spark, sf_dir):
+    """tx10: the vocabulary-sized df table and the 1-row corpus count must
+    broadcast — a sort-merge join here would shuffle the whole corpus."""
+    from product_data_pipelining_spark.plans.inspect import physical_plan
+
+    df = QUERIES["tx10_tfidf_topterms"].fn(spark, sf_dir)
+    kinds = join_kinds(df)
+    assert "SortMergeJoin" not in kinds, kinds
+    assert "BroadcastHashJoin" in kinds, kinds
+    assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_cogroup_two_exchanges_one_pandas_node(spark, sf_dir):
+    """cg01: cogroup = one hash exchange per side + FlatMapCoGroupsInPandas."""
+    from product_data_pipelining_spark.plans.inspect import physical_plan
+
+    df = QUERIES["cg01_cogroup_reconcile"].fn(spark, sf_dir)
+    assert "FlatMapCoGroupsInPandas" in physical_plan(df)
+    assert exchange_count(df) == 2
