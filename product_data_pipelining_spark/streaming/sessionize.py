@@ -206,3 +206,26 @@ def streaming_sliding_counts(events_stream: DataFrame) -> DataFrame:
             "total_value",
         )
     )
+
+
+def streaming_enrich_static(
+    events_stream: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment: per-event dimension lookup, stateless.
+
+    The static side is planned as a broadcast hash join against every
+    micro-batch — no state store, no watermark, and the stream side
+    never shuffles; at cluster scale the dimension broadcast is built
+    once per batch from the (cacheable) static DataFrame. This is the
+    streaming counterpart of the batch star-enrich join (j01): same
+    result row-for-row, which the test asserts with no emission-horizon
+    carve-outs because a stateless join emits everything it reads.
+    """
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("user_segment"),
+    )
+    return events_stream.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", "user_name", "user_segment", "event_type", "value"
+    )

@@ -239,3 +239,20 @@ def test_streaming_sliding_counts_match_batch(spark, replay_dir):
     w = {(r["window_start"], r["event_type"]): r["n"] for r in want.collect()}
     assert w, "horizon filtered everything"
     assert g == w
+
+
+def test_streaming_enrich_static_matches_batch_join(spark, sf_dir, replay_dir):
+    from product_data_pipelining_spark.io import load_table
+    from product_data_pipelining_spark.streaming.sessionize import (
+        streaming_enrich_static,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    src = _stream_source(spark, replay_dir)
+    got = _run_stream(
+        spark, streaming_enrich_static(src, customer), "enrich_static"
+    )
+    want = streaming_enrich_static(spark.read.parquet(replay_dir), customer)
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g and g == w
