@@ -1024,3 +1024,146 @@ def chk01_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "supplier.s_nationkey->nation")
         )
     )
+
+
+@register(
+    "ev05_funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), conv AS (
+      SELECT s.user_id,
+             MAX(CASE WHEN p.ts >= s.signup_ts
+                       AND p.ts <= s.signup_ts + INTERVAL 7 DAY
+                      THEN 1 ELSE 0 END) AS converted
+      FROM s LEFT JOIN events p
+        ON p.user_id = s.user_id AND p.event_type = 'purchase'
+      GROUP BY s.user_id
+    )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_signup_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 4) AS conv_rate
+    FROM conv JOIN customer c ON conv.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def ev05_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analytics: signup → purchase-within-7-days, by segment.
+
+    Event-sequence matching as pure relational algebra: first-touch per
+    user (min-agg), a user-keyed join against the candidate next step
+    with the time bound as a join-time predicate, then a flag max —
+    both heavy stages shuffle on ``user_id`` only, so the second
+    aggregation reuses the first's partitioning and the raw event
+    payload never travels. The segment dimension broadcasts; the final
+    rollup is segment-cardinality. The conversion ratio divides two
+    exact longs — one double op, identical in both engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    in_window = (F.col("p_ts") >= F.col("signup_ts")) & (
+        F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAY")
+    )
+    conv = (
+        s.join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(in_window, F.lit(1)).otherwise(F.lit(0)).alias("flag"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("flag").alias("converted"))
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        conv.join(F.broadcast(cust), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_signup_users"),
+            F.sum("converted").alias("n_converted"),
+            F.round(
+                F.sum("converted").cast("double") / F.count(F.lit(1)), 4
+            ).alias("conv_rate"),
+        )
+    )
+
+
+@register(
+    "ev06_retention_cohorts",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), flags AS (
+      SELECT s.user_id, s.cohort_day,
+             MAX(CASE WHEN a.d = s.cohort_day + 1 THEN 1 ELSE 0 END) AS d1,
+             MAX(CASE WHEN a.d = s.cohort_day + 7 THEN 1 ELSE 0 END) AS d7
+      FROM s LEFT JOIN act a ON a.user_id = s.user_id
+      GROUP BY s.user_id, s.cohort_day
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           COUNT(*) AS cohort_size,
+           CAST(SUM(d1) AS BIGINT) AS retained_d1,
+           CAST(SUM(d7) AS BIGINT) AS retained_d7,
+           ROUND(CAST(SUM(d1) AS DOUBLE) / COUNT(*), 4) AS retention_d1,
+           ROUND(CAST(SUM(d7) AS DOUBLE) / COUNT(*), 4) AS retention_d7
+    FROM flags GROUP BY cohort_day
+    """,
+)
+def ev06_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: day-1 / day-7 return rates per signup-day cohort.
+
+    The activity table is pre-shrunk to DISTINCT (user, day) — at 100 TB
+    that collapses the event volume to at most users × days before the
+    cohort join, and both heavy stages (first-signup agg, activity
+    dedup + join) shuffle on ``user_id`` alone. Cohort rollup output is
+    O(days). Date arithmetic (``date_add``) and the long/long ratio are
+    engine-exact, so the oracle matches without tolerance.
+    """
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").cast("date").alias("cohort_day"))
+    )
+    act = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    flags = (
+        s.join(act, "user_id", "left")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.when(
+                F.col("d") == F.date_add("cohort_day", 1), F.lit(1)
+            ).otherwise(F.lit(0)).alias("f1"),
+            F.when(
+                F.col("d") == F.date_add("cohort_day", 7), F.lit(1)
+            ).otherwise(F.lit(0)).alias("f7"),
+        )
+        .groupBy("user_id", "cohort_day")
+        .agg(F.max("f1").alias("d1"), F.max("f7").alias("d7"))
+    )
+    n = F.count(F.lit(1))
+    return flags.groupBy(
+        F.col("cohort_day").cast("string").alias("cohort_day")
+    ).agg(
+        n.alias("cohort_size"),
+        F.sum("d1").alias("retained_d1"),
+        F.sum("d7").alias("retained_d7"),
+        F.round(F.sum("d1").cast("double") / n, 4).alias("retention_d1"),
+        F.round(F.sum("d7").cast("double") / n, 4).alias("retention_d7"),
+    )
