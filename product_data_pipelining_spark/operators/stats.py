@@ -177,3 +177,74 @@ def pr03_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket", "bucket_lo")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "chk02_outlier_zscore",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    ), params AS (
+      SELECT l_returnflag,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS sd
+      FROM sums
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN abs(l.l_extendedprice - p.mean) > 2.5 * p.sd
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(p.mean, 4) AS mean_price
+    FROM lineitem l JOIN params p ON l.l_returnflag = p.l_returnflag
+    GROUP BY l.l_returnflag, p.mean
+    """,
+)
+def chk02_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: per-group z-score outlier counts (|z| > 2.5).
+
+    Two passes over the fact, zero passes over the driver: pass one
+    collects the exact decimal power sums per group (pr02's pattern),
+    pass two re-scans with the group's (mean, sd) joined back in — a
+    3-row broadcast, so the audit costs one map-side-combined count at
+    any scale. The mean/sd derivation repeats the identical double
+    expression on both engines, keeping the boundary predicate
+    ``|x - mean| > 2.5 sd`` bit-deterministic, so even a row sitting
+    exactly on the threshold classifies the same way in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dx = F.col("l_extendedprice").cast("decimal(12,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dx * dx).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    params = sums.select(
+        F.col("l_returnflag").alias("p_flag"),
+        (sx / nd).alias("mean"),
+        F.sqrt((nd * sxx - sx * sx) / (nd * (nd - 1))).alias("sd"),
+    )
+    outlier = F.abs(F.col("l_extendedprice") - F.col("mean")) > 2.5 * F.col("sd")
+    return (
+        li.join(F.broadcast(params), li.l_returnflag == F.col("p_flag"))
+        .groupBy("l_returnflag", "mean")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(outlier, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "n_outliers",
+            F.round("mean", 4).alias("mean_price"),
+        )
+    )
