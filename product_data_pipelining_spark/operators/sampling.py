@@ -124,3 +124,60 @@ def smp03_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(100)
     )
+
+
+_PACK_BUCKETS = 16
+_PACK_BUDGET = 2_000  # tokens per shard
+
+
+@register(
+    "smp04_token_budget_pack",
+    oracle=f"""
+    WITH tokc AS (
+      SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, bucket, n_tokens,
+           bucket * 100000 + CAST(FLOOR(
+             (SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+             / {_PACK_BUDGET}) AS BIGINT) AS shard_id
+    FROM tokc
+    """,
+)
+def smp04_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard packing: assign documents to training shards under a token budget.
+
+    Greedy first-fit packing made distributed: documents are spread
+    over ``_PACK_BUCKETS`` independent lanes (deterministic key mod),
+    each lane packs by running token cumsum — a ROWS window per lane,
+    so lanes fill in parallel and no lane's state exceeds one running
+    long. Shard ids are globally unique by construction
+    (``lane * 100000 + seq``). Pure integer arithmetic end-to-end →
+    exact parity with the oracle. At 100 TB the lane count scales with
+    the cluster, and per-lane order (here ``doc_id``) is any stable
+    key; the window never sees more than one lane's documents.
+    """
+    from ..operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokc = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
+        F.size(tokens()).cast("bigint").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shard = F.col("bucket") * 100_000 + F.floor(
+        (F.sum("n_tokens").over(w) - 1) / _PACK_BUDGET
+    ).cast("bigint")
+    return tokc.select(
+        "doc_id", "bucket", "n_tokens", shard.alias("shard_id")
+    )
