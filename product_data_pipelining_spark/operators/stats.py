@@ -248,3 +248,43 @@ def chk02_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mean", 4).alias("mean_price"),
         )
     )
+
+
+@register(
+    "a19_argmax_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS top_orderkey,
+           ROUND(o_totalprice, 2) AS top_price
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def a19_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max per key as an aggregate: each customer's priciest order.
+
+    The k=1 specialization of a18 deserves its own plan: ``max`` over a
+    ``struct(value, key)`` is an ordinary partial-combinable aggregate —
+    lexicographic max merges associatively — so the whole query is one
+    map-side-combined exchange with no sort, no window, and per-task
+    state of one struct per key. For "latest record per key" /
+    "winner per key" at 100 TB this beats the window formulation: the
+    shuffle carries one candidate per (task, key) instead of every row.
+    The trailing ``o_orderkey`` in the struct makes ties deterministic
+    (largest key wins, mirrored in the oracle's DESC tiebreak).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.max(F.struct("o_totalprice", "o_orderkey")).alias("m")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(m)
+        .select(
+            "o_custkey",
+            F.col("m.o_orderkey").alias("top_orderkey"),
+            F.round("m.o_totalprice", 2).alias("top_price"),
+        )
+    )

@@ -327,3 +327,15 @@ def test_cogroup_two_exchanges_one_pandas_node(spark, sf_dir):
     df = QUERIES["cg01_cogroup_reconcile"].fn(spark, sf_dir)
     assert "FlatMapCoGroupsInPandas" in physical_plan(df)
     assert exchange_count(df) == 2
+
+
+def test_argmax_aggregate_no_window(spark, sf_dir):
+    """a19: max(struct) plans as a partial-combinable aggregate — one
+    exchange, no Window node (the window formulation would sort every
+    row; the aggregate carries one candidate per task per key)."""
+    from product_data_pipelining_spark.plans.inspect import physical_plan
+
+    df = QUERIES["a19_argmax_per_group"].fn(spark, sf_dir)
+    assert has_partial_aggregation(df)
+    assert exchange_count(df) == 1
+    assert "Window" not in physical_plan(df)
