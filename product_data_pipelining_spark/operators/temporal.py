@@ -244,3 +244,43 @@ def tp01_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
     )
+
+
+@register(
+    "dt02_calendar_dimension",
+    oracle="""
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST(year(d) AS BIGINT) AS year,
+           CAST(month(d) AS BIGINT) AS month,
+           CAST(isodow(d) - 1 AS BIGINT) AS weekday,
+           CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS is_weekend,
+           CAST(strftime(d, '%Y-%m') AS VARCHAR) AS year_month
+    FROM (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                             DATE '2024-12-31',
+                                             INTERVAL 1 DAY)) AS DATE) AS d)
+    """,
+)
+def dt02_calendar_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generation: one row per day, derived attributes.
+
+    Built from ``spark.range`` + ``date_add`` — a Range scan is
+    partitioned across executors with zero input and zero shuffle, so
+    the same plan generates a century of days or a millisecond spine
+    for an as-of join (j05) without a driver-side loop. Weekday uses
+    ``F.weekday`` (0 = Monday), mirrored as ``isodow - 1`` in the
+    oracle — the cross-engine-stable formulation (``dayofweek``'s week
+    start differs between engines).
+    """
+    n_days = 366  # 2024 is a leap year
+    start = F.lit("2024-01-01").cast("date")
+    d = F.date_add(start, F.col("id").cast("int"))
+    return spark.range(n_days).select(
+        d.cast("string").alias("day"),
+        F.year(d).cast("long").alias("year"),
+        F.month(d).cast("long").alias("month"),
+        F.weekday(d).cast("long").alias("weekday"),
+        F.when(F.weekday(d) >= 5, F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_weekend"
+        ),
+        F.date_format(d, "yyyy-MM").alias("year_month"),
+    )
