@@ -531,3 +531,78 @@ def dd07_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= _CONTAM_MIN_SHARED)
     )
+
+
+@register(
+    "dd08_url_canonical_dedup",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Example' || CAST(doc_id % 500 AS VARCHAR)
+               || '.COM/Path/' || CAST(doc_id % 37 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+                       ELSE '' END AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(url), '[?#].*$', ''),
+                 '^https?://(www\\.)?', ''),
+               '/$', '') AS canonical_url
+      FROM pages
+    )
+    SELECT canonical_url,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_duplicates
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def dd08_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl dedup by canonical URL: normalize, group, keep first.
+
+    The corpus has no URL column, so the query deterministically plants
+    messy URLs from ``doc_id`` (scheme/case/tracking-params/trailing-
+    slash variants — identical string built on both engines), then
+    canonicalizes with three JVM-side ``regexp_replace`` passes (strip
+    query/fragment, scheme + www, trailing slash) and deduplicates with
+    min-keeper per canonical key. All regexes sit in the Java-regex ∩
+    RE2 common subset. At crawl scale this is a map stage plus one
+    count-combined shuffle on the canonical key — the exact-dedup
+    (dd01) shape with normalization fused into the scan's project.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        (F.col("doc_id") % 500).cast("string"),
+        F.lit(".COM/Path/"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&ref="),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), r"[?#].*$", ""),
+            r"^https?://(www\.)?",
+            "",
+        ),
+        r"/$",
+        "",
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_duplicates"),
+        )
+    )

@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the cross-engine determinism layer.
+
+The oracle-parity suite checks fixed datasets; these tests check the
+*invariants* the whole comparison methodology rests on, over generated
+inputs:
+
+1. ``duck_round`` == DuckDB ``ROUND`` on arbitrary doubles (including
+   the representability boundaries where naive rounding diverges).
+2. ``det_sum`` is partition-layout-independent AND equals its DuckDB
+   twin ``sql_det_sum`` — the property that makes distributed floating
+   aggregation reproducible at any cluster size.
+3. Last-writer-wins upsert keeps exactly the max-version row per key
+   regardless of input order.
+
+Examples are kept small (each one round-trips through a Spark job);
+hypothesis explores the value space, not the volume space.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from product_data_pipelining_spark.functions.rounding import (
+    det_sum,
+    duck_round,
+    sql_det_sum,
+)
+
+# money-ish doubles: the engine's envelope (|x| < 9.2e12, 1e-6 grid —
+# rounding.py) plus adversarial near-boundary values like 2.675
+_MONEY = st.one_of(
+    st.floats(
+        min_value=-1e9,
+        max_value=1e9,
+        allow_nan=False,
+        allow_infinity=False,
+        width=64,
+    ),
+    st.decimals(
+        min_value=-1000, max_value=1000, places=3
+    ).map(float),  # x.xx5 boundary cases
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(vals=st.lists(_MONEY, min_size=1, max_size=8))
+@_SETTINGS
+def test_duck_round_matches_duckdb_round(spark, vals):
+    got = [
+        r["r"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v double")
+        .select(duck_round("v", 2).alias("r"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT ROUND(CAST(? AS DOUBLE), 2)", [v]).fetchone()[0]
+        for v in vals
+    ]
+    assert got == pytest.approx(want, abs=0.0), (vals, got, want)
+
+
+@given(
+    vals=st.lists(_MONEY, min_size=1, max_size=12),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@_SETTINGS
+def test_det_sum_is_partition_independent_and_matches_duckdb(
+    spark, vals, parts
+):
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    one = df.coalesce(1).agg(det_sum("v").alias("s")).collect()[0]["s"]
+    many = (
+        df.repartition(parts).agg(det_sum("v").alias("s")).collect()[0]["s"]
+    )
+    assert one == many, (vals, parts, one, many)
+    con = duckdb.connect()
+    placeholders = ", ".join(f"({v!r})" for v in vals)
+    want = con.execute(
+        f"SELECT {sql_det_sum('v')} AS s FROM (VALUES {placeholders}) t(v)"
+    ).fetchone()[0]
+    assert one == want, (vals, one, want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.integers(min_value=0, max_value=9),  # version
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_last_writer_wins_keeps_max_version_per_key(spark, rows):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "k int, ver int")
+    w = Window.partitionBy("k").orderBy(F.desc("ver"))
+    got = {
+        (r["k"], r["ver"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "ver")
+        .collect()
+    }
+    want = {}
+    for k, ver in rows:
+        want[k] = max(want.get(k, -1), ver)
+    assert got == {(k, v) for k, v in want.items()}, (rows, got)
