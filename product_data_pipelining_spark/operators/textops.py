@@ -531,3 +531,97 @@ def tx10_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "tok", "tf", "df", F.round("score", 6).alias("score"), "rn")
     )
+
+
+@register(
+    "tx11_corpus_filter_pipeline",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len({_sql_tokens()}) AS word_count,
+             {_sql_marker_score(_sql_tokens(), STOPWORDS)} AS stopword_count,
+             {_sql_marker_score(_sql_tokens(), LANG_MARKERS["en"])} AS s_en,
+             {_sql_marker_score(_sql_tokens(), LANG_MARKERS["de"])} AS s_de,
+             {_sql_marker_score(_sql_tokens(), LANG_MARKERS["fr"])} AS s_fr,
+             {_sql_marker_score(_sql_tokens(), LANG_MARKERS["es"])} AS s_es,
+             md5(text) AS content_fp
+      FROM documents
+    ), flags AS (
+      SELECT doc_id,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                  THEN 1 ELSE 0 END AS is_en,
+             CASE WHEN word_count BETWEEN 20 AND 1000
+                   AND CAST(stopword_count AS DOUBLE) / word_count
+                       BETWEEN 0.01 AND 0.5
+                  THEN 1 ELSE 0 END AS passes_quality,
+             CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY content_fp)
+                  THEN 1 ELSE 0 END AS is_canonical
+      FROM feats
+    )
+    SELECT doc_id, is_en, passes_quality, is_canonical,
+           is_en * passes_quality * is_canonical AS kept,
+           CASE WHEN is_en = 0 THEN 'lang'
+                WHEN passes_quality = 0 THEN 'quality'
+                WHEN is_canonical = 0 THEN 'duplicate'
+                ELSE NULL END AS drop_reason
+    FROM flags
+    """,
+)
+def tx11_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end C4-style curation: lang-ID → quality gate → exact dedup.
+
+    The three filter families composed the way a production corpus
+    pipeline runs them, in one DataFrame chain: marker-vocabulary
+    language argmax (tx03), length/stopword quality rules (tx02), and
+    exact-hash canonical-keeper dedup (dd01's shape as a window min
+    over the content fingerprint). Per-doc verdicts carry a first-
+    failing ``drop_reason`` for curation accounting. One scan computes
+    every feature map-side; the only shuffle is the fingerprint window
+    — at 100 TB the featurization cost is amortized across all three
+    gates instead of three separate pipeline passes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    feats = docs.select(
+        "doc_id",
+        F.size(toks).alias("word_count"),
+        marker_score(toks, STOPWORDS).alias("stopword_count"),
+        marker_score(toks, LANG_MARKERS["en"]).alias("s_en"),
+        marker_score(toks, LANG_MARKERS["de"]).alias("s_de"),
+        marker_score(toks, LANG_MARKERS["fr"]).alias("s_fr"),
+        marker_score(toks, LANG_MARKERS["es"]).alias("s_es"),
+        F.md5("text").alias("content_fp"),
+    )
+    s_en, s_de, s_fr, s_es = (
+        F.col(c) for c in ("s_en", "s_de", "s_fr", "s_es")
+    )
+    stop_ratio = F.col("stopword_count").cast("double") / F.col("word_count")
+    w_fp = Window.partitionBy("content_fp")
+    flags = feats.select(
+        "doc_id",
+        F.when(
+            (s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), F.lit(1)
+        ).otherwise(F.lit(0)).alias("is_en"),
+        F.when(
+            F.col("word_count").between(20, 1000)
+            & stop_ratio.between(0.01, 0.5),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("passes_quality"),
+        F.when(
+            F.col("doc_id") == F.min("doc_id").over(w_fp), F.lit(1)
+        ).otherwise(F.lit(0)).alias("is_canonical"),
+    )
+    return flags.select(
+        "doc_id",
+        "is_en",
+        "passes_quality",
+        "is_canonical",
+        (
+            F.col("is_en") * F.col("passes_quality") * F.col("is_canonical")
+        ).alias("kept"),
+        F.when(F.col("is_en") == 0, F.lit("lang"))
+        .when(F.col("passes_quality") == 0, F.lit("quality"))
+        .when(F.col("is_canonical") == 0, F.lit("duplicate"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("drop_reason"),
+    )
