@@ -55,6 +55,8 @@ HEADLINE = [
     "dd01_exact_dedup",
     "dd04_minhash_lsh_pairs",
     "tx02_quality_score",
+    "tx11_corpus_filter_pipeline",
+    "ev05_funnel_conversion",
     "sim01_ann_bruteforce_topk",
     "mm02_decode_features",
 ]
