@@ -339,3 +339,10 @@ def test_argmax_aggregate_no_window(spark, sf_dir):
     assert has_partial_aggregation(df)
     assert exchange_count(df) == 1
     assert "Window" not in physical_plan(df)
+
+
+def test_corpus_pipeline_single_shuffle(spark, sf_dir):
+    """tx11: all featurization is map-side; the only exchange is the
+    content-fingerprint window for canonical-keeper dedup."""
+    df = QUERIES["tx11_corpus_filter_pipeline"].fn(spark, sf_dir)
+    assert exchange_count(df) == 1
