@@ -288,3 +288,76 @@ def a19_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("m.o_totalprice", 2).alias("top_price"),
         )
     )
+
+
+@register(
+    "pr04_winsorize",
+    oracle="""
+    WITH thresholds AS (
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
+             ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l.l_extendedprice < t.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_low,
+           CAST(SUM(CASE WHEN l.l_extendedprice > t.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_high,
+           ROUND(CAST(CAST(SUM(CAST(CASE
+               WHEN CASE WHEN l.l_extendedprice < t.lo THEN t.lo
+                         WHEN l.l_extendedprice > t.hi THEN t.hi
+                         ELSE l.l_extendedprice END >= 0
+               THEN FLOOR(CAST(CASE WHEN l.l_extendedprice < t.lo THEN t.lo
+                                    WHEN l.l_extendedprice > t.hi THEN t.hi
+                                    ELSE l.l_extendedprice END AS DOUBLE)
+                          * 1e6 + 0.5)
+               ELSE CEIL(CAST(CASE WHEN l.l_extendedprice < t.lo THEN t.lo
+                                   WHEN l.l_extendedprice > t.hi THEN t.hi
+                                   ELSE l.l_extendedprice END AS DOUBLE)
+                         * 1e6 - 0.5) END AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / 1e6 / COUNT(*), 2) AS winsorized_avg
+    FROM lineitem l JOIN thresholds t ON l.l_returnflag = t.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def pr04_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp each group's tail values at exact p05/p95.
+
+    Outlier capping the way feature pipelines apply it before training:
+    pass one computes exact interpolated percentiles per group (a03's
+    hardest-parity machinery, rounded onto the money grid so both
+    engines hold identical thresholds); pass two re-scans with the
+    3-row threshold table broadcast and clamps map-side, re-aggregating
+    with the deterministic scaled-integer average. Same two-pass
+    broadcast-back shape as chk02 — O(groups) driver-free state, two
+    map-side-combined exchanges at any scale.
+    """
+    from ..functions.rounding import det_avg, duck_round
+
+    li = load_table(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy(F.col("l_returnflag").alias("t_flag")).agg(
+        duck_round(F.percentile("l_extendedprice", F.lit(0.05)), 2).alias("lo"),
+        duck_round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("hi"),
+    )
+    x = F.col("l_extendedprice")
+    clamped = (
+        F.when(x < F.col("lo"), F.col("lo"))
+        .when(x > F.col("hi"), F.col("hi"))
+        .otherwise(x)
+    )
+    return (
+        li.join(F.broadcast(thresholds), li.l_returnflag == F.col("t_flag"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(x < F.col("lo"), 1).otherwise(0)).alias(
+                "n_clamped_low"
+            ),
+            F.sum(F.when(x > F.col("hi"), 1).otherwise(0)).alias(
+                "n_clamped_high"
+            ),
+            det_avg(clamped).alias("winsorized_avg"),
+        )
+    )
