@@ -181,3 +181,44 @@ def smp04_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokc.select(
         "doc_id", "bucket", "n_tokens", shard.alias("shard_id")
     )
+
+
+_QUOTA_PER_SOURCE = 50
+
+
+@register(
+    "smp05_per_source_quota",
+    oracle=f"""
+    SELECT source, doc_id, pick
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+      FROM documents
+    ) WHERE pick <= {_QUOTA_PER_SOURCE}
+    """,
+)
+def smp05_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain quotas: keep at most N uniformly-chosen docs per source.
+
+    The crawl-curation cap on over-represented domains, composed from
+    two already-proven pieces: md5-of-key priorities (smp03's
+    reproducible uniform choice — no ``rand()``) ranked per source with
+    the WindowGroupLimit top-k (a18's plan — each task holds at most N
+    rows per source on either side of the single exchange). Changing
+    the quota or the partition count never changes *which* documents
+    survive, only how fast.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).alias("pick")
+        )
+        .filter(F.col("pick") <= _QUOTA_PER_SOURCE)
+    )
