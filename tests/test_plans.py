@@ -346,3 +346,48 @@ def test_corpus_pipeline_single_shuffle(spark, sf_dir):
     content-fingerprint window for canonical-keeper dedup."""
     df = QUERIES["tx11_corpus_filter_pipeline"].fn(spark, sf_dir)
     assert exchange_count(df) == 1
+
+
+def test_runtime_bloom_filter_injects_on_selective_big_join(spark, sf_dir):
+    """Big⋈big with a selective build side gets a runtime Bloom semi-filter
+    (`might_contain` on the probe scan) — Spark's injected pre-shuffle
+    filter that drops non-matching fact rows before the exchange. The
+    scan-size threshold is floored to 0 here because the test inputs are
+    MBs; at cluster scale the default (10 GB probe side) triggers it
+    naturally and no override is needed."""
+    from product_data_pipelining_spark.io import load_table as lt
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = lt(spark, sf_dir, "lineitem")
+        o = lt(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
