@@ -1167,3 +1167,32 @@ def ev06_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("d1").cast("double") / n, 4).alias("retention_d1"),
         F.round(F.sum("d7").cast("double") / n, 4).alias("retention_d7"),
     )
+
+
+@register(
+    "o02_limit_offset_page",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey
+    FROM supplier
+    ORDER BY s_suppkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def o02_limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless paging: ORDER BY + LIMIT/OFFSET over a total order.
+
+    Covered for surface parity — Spark plans the sort+limit+offset as a
+    global TakeOrdered of ``offset + limit`` rows (each partition keeps
+    only that many, one small merge finishes). The docstring caveat IS
+    the design guidance: offset paging re-sorts the prefix on every
+    page, so deep pagination at 100 TB should use keyset pagination
+    instead (``WHERE s_suppkey > :last_seen ORDER BY ... LIMIT n`` —
+    the filter pushes to the scan and page cost stays O(page)).
+    """
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sup.select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+        .offset(40)
+        .limit(20)
+    )
