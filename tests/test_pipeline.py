@@ -213,3 +213,42 @@ def test_distributed_generator_deterministic_and_shuffle_free(spark):
     assert len(got) == 300
     assert all(20 <= len(r["text"].split()) <= 60 for r in got)
     assert all(r["n_chars"] == len(r["text"]) for r in got)
+
+
+def test_schema_evolution_merge_and_projection(spark, tmp_path):
+    """Landed batches drift (a new column appears): mergeSchema reads the
+    union schema with nulls for pre-drift files, and an explicit-schema
+    read projects the stable subset — the two ingestion postures for
+    long-lived raw directories (evolve vs pin)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = str(tmp_path / "evolving")
+    spark.range(5).select(
+        F.col("id"), F.lit("v1").alias("src")
+    ).write.mode("append").parquet(path)
+    spark.range(5, 8).select(
+        F.col("id"), F.lit("v2").alias("src"), F.lit(1.5).alias("score")
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "src", "score"}
+    assert merged.count() == 8
+    # pre-drift rows surface the new column as null
+    assert merged.filter(F.col("score").isNull()).count() == 5
+    assert merged.filter(F.col("score") == 1.5).count() == 3
+
+    pinned_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("src", StringType()),
+        ]
+    )
+    pinned = spark.read.schema(pinned_schema).parquet(path)
+    assert pinned.columns == ["id", "src"]
+    assert pinned.count() == 8
