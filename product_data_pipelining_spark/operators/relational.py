@@ -1092,7 +1092,7 @@ def ev05_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_signup_users"),
             F.sum("converted").alias("n_converted"),
-            F.round(
+            duck_round(
                 F.sum("converted").cast("double") / F.count(F.lit(1)), 4
             ).alias("conv_rate"),
         )
@@ -1164,8 +1164,8 @@ def ev06_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("cohort_size"),
         F.sum("d1").alias("retained_d1"),
         F.sum("d7").alias("retained_d7"),
-        F.round(F.sum("d1").cast("double") / n, 4).alias("retention_d1"),
-        F.round(F.sum("d7").cast("double") / n, 4).alias("retention_d7"),
+        duck_round(F.sum("d1").cast("double") / n, 4).alias("retention_d1"),
+        duck_round(F.sum("d7").cast("double") / n, 4).alias("retention_d7"),
     )
 
 

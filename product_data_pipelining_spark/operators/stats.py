@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import duck_round
 from ..io import load_table
 from ..registry import register
 
@@ -108,6 +109,16 @@ def pr02_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     *same* double computation DuckDB runs, the results match bit-for-
     bit — distributed summation order never leaks into the output,
     which `F.corr`/`F.stddev` cannot promise across engines.
+
+    Precision envelope: cross-engine *parity* holds at any scale (both
+    engines cast the same exact decimal to double), but the finishing
+    doubles lose absolute accuracy once a power sum exceeds 2^53
+    (~9.0e15). With l_extendedprice <= ~1.1e5, sxx per group stays
+    under 2^53 up to ~7e5 lineitem rows per flag (~SF 0.3 here since
+    this generator is row-scaled); past that, derive the moments from
+    per-partition-key partial sums (two-level aggregation) or switch
+    the finish to DECIMAL(38) arithmetic before the final divide —
+    the shuffle shape is unchanged either way.
     """
     li = load_table(spark, sf_dir, "lineitem")
     dx = F.col("l_extendedprice").cast("decimal(12,2)")
@@ -131,10 +142,10 @@ def pr02_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "l_returnflag",
         "n",
-        F.round(
+        duck_round(
             (nd * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y)), 6
         ).alias("price_qty_corr"),
-        F.round(F.sqrt(var_x / (nd * (nd - 1))), 6).alias("price_stddev"),
+        duck_round(F.sqrt(var_x / (nd * (nd - 1))), 6).alias("price_stddev"),
     )
 
 
@@ -217,6 +228,8 @@ def chk02_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression on both engines, keeping the boundary predicate
     ``|x - mean| > 2.5 sd`` bit-deterministic, so even a row sitting
     exactly on the threshold classifies the same way in both engines.
+    Same 2^53 accuracy envelope as pr02 (see its docstring): parity is
+    scale-free, absolute accuracy of mean/sd needs sxx < 2^53.
     """
     li = load_table(spark, sf_dir, "lineitem")
     dx = F.col("l_extendedprice").cast("decimal(12,2)")
@@ -245,7 +258,7 @@ def chk02_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "n_rows",
             "n_outliers",
-            F.round("mean", 4).alias("mean_price"),
+            duck_round("mean", 4).alias("mean_price"),
         )
     )
 

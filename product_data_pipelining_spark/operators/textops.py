@@ -529,7 +529,10 @@ def tx10_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "tok", "tf", "df", F.round("score", 6).alias("score"), "rn")
+        .select(
+            "doc_id", "tok", "tf", "df",
+            duck_round("score", 6).alias("score"), "rn",
+        )
     )
 
 

@@ -69,6 +69,47 @@ def test_duck_round_matches_duckdb_round(spark, vals):
     assert got == pytest.approx(want, abs=0.0), (vals, got, want)
 
 
+# The scales the oracled queries actually round at: 2 (money), 4
+# (ratios: chk02 mean, ev05 conv_rate, ev06 retention), 6 (pr02
+# moments, tx10 tf-idf). Strategy centers on x.…5 half-way points —
+# exactly where Spark's BigDecimal(double) HALF_UP and DuckDB's
+# scaled-double round diverge (rounding.py's 52298.925 class).
+@pytest.mark.parametrize("scale", [2, 4, 6])
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False, width=64,
+            ),
+            # one-past-the-scale decimals: maximal density of halfway
+            # representability boundaries at each tested scale
+            st.decimals(min_value=-100, max_value=100, places=7).map(float),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_duck_round_boundary_scales(spark, scale, vals):
+    # seed the class of values that flipped F.round vs DuckDB ROUND
+    vals = vals + [52298.925, 2.675, -2.675, 0.00000105, 0.12345649999]
+    got = [
+        r["r"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v double")
+        .select(duck_round("v", scale).alias("r"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT ROUND(CAST(? AS DOUBLE), {scale})", [v]
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == pytest.approx(want, abs=0.0), (vals, got, want)
+
+
 @given(
     vals=st.lists(_MONEY, min_size=1, max_size=12),
     parts=st.integers(min_value=1, max_value=5),
