@@ -123,27 +123,53 @@ def foreach_batch_upsert(
 
     def _merge(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            existing = spark.read.parquet(target_path)
+        # "First batch" means the target path does not exist — nothing
+        # else. A transient read failure (permissions blip, eventual
+        # consistency, corrupt footer) must PROPAGATE so foreachBatch
+        # fails and the checkpoint retries the batch; swallowing it
+        # here would silently replace the whole target with one
+        # micro-batch. Existence goes through the Hadoop FS API so any
+        # supported scheme (file://, s3a://, ...) answers correctly.
+        hpath = spark._jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        batch_df = batch_df.withColumn("__src", F.lit(1))
+        if fs.exists(hpath):
+            existing = spark.read.parquet(target_path).withColumn(
+                "__src", F.lit(0)
+            )
             combined = existing.unionByName(batch_df)
-        except Exception:  # first batch: nothing to merge yet
+        else:
             combined = batch_df
+        # Tiebreak beyond order_col: the incoming batch beats the
+        # stored row (__src desc — a replayed batch re-applies
+        # idempotently), then every remaining column, so the kept row
+        # is a pure function of the data, not of task scheduling.
+        rest = [
+            c
+            for c in combined.columns
+            if c not in (*keys, order_col, "__src")
+        ]
         w = Window.partitionBy(*keys).orderBy(
             F.col(order_col).desc(),
+            F.col("__src").desc(),
+            *[F.col(c).desc() for c in rest],
         )
         deduped = (
             combined.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .drop("__rn", "__src")
         )
         # rewrite via a staging dir would be the production move; the
         # overwrite here keeps the local test hermetic
         deduped.cache().count()  # materialize before overwriting source
-        deduped.write.mode("overwrite").parquet(target_path + "_next")
-        import shutil
+        try:
+            deduped.write.mode("overwrite").parquet(target_path + "_next")
+            import shutil
 
-        shutil.rmtree(target_path, ignore_errors=True)
-        shutil.move(target_path + "_next", target_path)
+            shutil.rmtree(target_path, ignore_errors=True)
+            shutil.move(target_path + "_next", target_path)
+        finally:
+            deduped.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(_merge)
