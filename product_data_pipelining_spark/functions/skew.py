@@ -92,9 +92,23 @@ def salted_join(
     multiplies the small side's shuffle volume by ``n_salts``, which is
     the explicit price of the spread; AQE's skew-join split does this
     adaptively for detected skew, while this operator guarantees it for
-    *known* hot keys (and composes with any join type the replicate
-    side allows).
+    *known* hot keys.
+
+    Only ``inner``, ``left``/``left_outer``, ``left_semi`` and
+    ``left_anti`` are supported: each right row exists ``n_salts``
+    times, so any join type that emits *unmatched right rows* (right/
+    full outer) would emit every such row once per salt — silently
+    wrong. Those types raise ``ValueError``; salt the other side (or
+    use AQE skew handling) instead.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated right "
+            "side duplicates unmatched right rows under right/full outer "
+            f"join types; use one of {sorted(allowed)}"
+        )
     salted_left = left.withColumn(
         _SALT, (F.rand(seed=0) * n_salts).cast("int")
     )

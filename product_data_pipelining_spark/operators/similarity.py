@@ -22,6 +22,12 @@ from ..registry import register
 
 TOP_K = 10
 QUERY_STRIDE = 50  # vec_id % 50 == 0 rows act as the query set
+# Hard cap on the broadcast query block. A production ANN scan services a
+# BOUNDED query batch fixed by the serving layer, independent of corpus
+# size; this assert turns "the test's stride-derived query set silently
+# scales with the corpus" into a loud error instead of driver OOM.
+# 65536 queries x 64 f64 dims = 32 MiB, comfortably broadcastable.
+MAX_QUERY_BLOCK = 65536
 NEARDUP_COSINE = 0.4
 LSH_BITS = 4  # sign bits of the first 4 dims form the bucket
 CENT_STRIDE = 83  # vec_id % 83 == 7 rows act as IVF seed centroids
@@ -100,14 +106,18 @@ def _with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim01_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k — the exact ANN baseline.
 
-    The query block (one per {QUERY_STRIDE} vectors — bounded, a few KB)
-    is collected once and closure-broadcast into an Arrow-batched
-    ``mapInPandas``: each corpus batch scores against ALL queries in one
-    BLAS matmul, so only the corpus moves (once, columnar) instead of a
-    |corpus|x|queries| joined intermediate, and the per-element work is
-    vectorized C, not interpreted expression trees. At 100 TB the corpus
-    side stays partitioned and only the query block replicates — the
-    canonical "broadcast the small side of a similarity join" plan.
+    The query block is the small side of a similarity join: it is pulled
+    to the driver ONCE behind an explicit ``MAX_QUERY_BLOCK`` bound
+    (``limit(cap + 1)`` so an oversized set raises before transferring,
+    never after) and shipped to executors as a ``SparkContext.broadcast``
+    — one torrent copy per executor, not a per-task pickled closure.
+    Each corpus batch then scores against ALL queries in one BLAS
+    matmul inside an Arrow-batched ``mapInPandas``, so only the corpus
+    moves (once, columnar) instead of a |corpus|x|queries| joined
+    intermediate. At 100 TB the corpus side stays partitioned and only
+    the bounded query batch replicates — the canonical "broadcast the
+    small side" plan; a corpus-proportional query set trips the assert
+    instead of silently OOMing the driver.
 
     Numeric parity with the sequential-double DuckDB oracle: products of
     float32 elements are exact in float64; the dot-sum accumulates in
@@ -122,10 +132,21 @@ def sim01_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_rows = (
         emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
         .select("vec_id", "embedding")
+        .limit(MAX_QUERY_BLOCK + 1)  # bound the transfer, not just the check
         .collect()
     )
-    q_ids = [int(r.vec_id) for r in q_rows]
-    q_mat = [list(map(float, r.embedding)) for r in q_rows]
+    if len(q_rows) > MAX_QUERY_BLOCK:
+        raise ValueError(
+            f"sim01 query block exceeds MAX_QUERY_BLOCK={MAX_QUERY_BLOCK}; "
+            "a query batch must be bounded independent of corpus size — "
+            "shard the batch or raise the cap deliberately"
+        )
+    q_block = spark.sparkContext.broadcast(
+        (
+            [int(r.vec_id) for r in q_rows],
+            [list(map(float, r.embedding)) for r in q_rows],
+        )
+    )
 
     top_k = TOP_K
 
@@ -134,6 +155,7 @@ def sim01_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        q_ids, q_mat = q_block.value
         Q = np.array(q_mat, dtype=np.float64)
         qid = np.array(q_ids, dtype=np.int64)
         q_nrm = np.sqrt(

@@ -157,6 +157,7 @@ def test_bucketed_join_and_agg_read_without_shuffle(spark, sf_dir, tmp_path):
     )
     write_bucketed(li, "bkt.lineitem_b", ("l_orderkey",), 8, ("l_orderkey",))
     write_bucketed(o, "bkt.orders_b", ("o_orderkey",), 8, ("o_orderkey",))
+    saved_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         lb, ob = spark.table("bkt.lineitem_b"), spark.table("bkt.orders_b")
         # force the non-broadcast path so the bucket layout is what
@@ -182,7 +183,7 @@ def test_bucketed_join_and_agg_read_without_shuffle(spark, sf_dir, tmp_path):
         )
         assert j.count() == want
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_threshold)
         spark.sql("DROP TABLE IF EXISTS bkt.lineitem_b")
         spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
 
@@ -252,6 +253,42 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     g = {(r["o_orderpriority"], r["n"], round(r["q"], 6)) for r in got.collect()}
     w = {(r["o_orderpriority"], r["n"], round(r["q"], 6)) for r in want.collect()}
     assert g == w
+
+
+def test_salted_join_left_outer_parity_and_outer_guard(spark, sf_dir):
+    """Left join: unmatched LEFT rows appear exactly once (salting the
+    left side never duplicates them); right/full outer raise because
+    the replicated right side would emit unmatched right rows once per
+    salt."""
+    import pytest as _pytest
+
+    from product_data_pipelining_spark.functions.skew import salted_join
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # keep only even custkeys on the right so unmatched LEFT rows exist
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .filter(F.col("o_custkey") % 2 == 0)
+    )
+    got = (
+        salted_join(c, o, "c_custkey", "o_custkey", n_salts=4, how="left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    want = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    g = {(r["c_custkey"], r["n_orders"]) for r in got.collect()}
+    w = {(r["c_custkey"], r["n_orders"]) for r in want.collect()}
+    assert g == w
+    # customers without orders must exist and count 0 exactly once each
+    assert any(n == 0 for _, n in w)
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(c, o, "c_custkey", "o_custkey", how=how)
 
 
 def test_approx_distinct_within_error_bound(spark, sf_dir):
