@@ -6,11 +6,21 @@ within buckets. Nothing here collects to the driver; candidate
 generation is banded LSH so the quadratic verify only runs inside tiny
 buckets.
 
-Cross-engine determinism: every hash is ``md5`` over an explicit string
-(identical hex in Spark and DuckDB), and min-hashes are lexicographic
-minima over those hex strings — so the DuckDB oracles reproduce the
-exact signatures. A production deployment would swap md5 for xxhash64
-(cheaper, JVM-intrinsic); the operator contract is unchanged.
+Hashing is pluggable (``hash_mode``):
+
+- ``"xxhash64"`` (production default for the API): k seeded
+  ``F.xxhash64`` calls — JVM-intrinsic, codegen'd, no hex
+  materialization; min-hashes are numeric minima over signed longs.
+- ``"md5"`` (oracle-compat): one md5 per shingle, min-hashes are
+  lexicographic minima over k overlapping hex windows of the digest —
+  identical hex in Spark and DuckDB, so the DuckDB oracles reproduce
+  the exact signatures. The *registered* dd03/dd04 queries pin this
+  mode because LSH candidate sets (and therefore outputs) depend on
+  the hash: value-level parity requires both engines to hash alike.
+
+Both modes produce uniform signatures, so recall/precision behavior is
+identical; tests assert the xxhash64 path's verified pairs are a subset
+of the exact-Jaccard answer with equal-threshold semantics.
 """
 
 from __future__ import annotations
@@ -95,10 +105,12 @@ def shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(par, "doc_id")
 
 
-def signature_from_shingles(sh_arr: DataFrame) -> DataFrame:
-    """One row per doc with NUM_MINHASH lexicographic-min hash columns.
+def signature_from_shingles(
+    sh_arr: DataFrame, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """One row per doc with NUM_MINHASH min-hash columns ``h0..h{k-1}``.
 
-    explode → md5 once per shingle → hash-aggregate with k ``min``
+    explode → hash per shingle → hash-aggregate with k ``min``
     partials. Higher-order-function formulations (``aggregate`` +
     ``zip_with`` over the array) compute the same thing shuffle-free but
     sit outside whole-stage codegen and allocate a k-array per element —
@@ -107,20 +119,36 @@ def signature_from_shingles(sh_arr: DataFrame) -> DataFrame:
     partially-minimized row per doc per partition). Docs with no
     shingles are dropped (explode of an empty array — parity with the
     exploded oracle form).
+
+    ``hash_mode="xxhash64"``: k seeded 64-bit hashes, numeric minima
+    (long columns). ``hash_mode="md5"``: one digest, k overlapping hex
+    windows, lexicographic minima (string columns) — byte-identical to
+    the DuckDB oracle's signatures.
     """
     ex = sh_arr.select("doc_id", F.explode("sh").alias("s"))
-    digests = ex.select("doc_id", F.md5("s").alias("dg"))
-    return digests.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring("dg", o, _SLICE_LEN)).alias(f"h{j}")
-            for j, o in enumerate(_SLICE_OFFSETS)
-        ]
-    )
+    if hash_mode == "xxhash64":
+        return ex.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(j), "s")).alias(f"h{j}")
+                for j in range(NUM_MINHASH)
+            ]
+        )
+    if hash_mode == "md5":
+        digests = ex.select("doc_id", F.md5("s").alias("dg"))
+        return digests.groupBy("doc_id").agg(
+            *[
+                F.min(F.substring("dg", o, _SLICE_LEN)).alias(f"h{j}")
+                for j, o in enumerate(_SLICE_OFFSETS)
+            ]
+        )
+    raise ValueError(f"hash_mode must be 'xxhash64' or 'md5', got {hash_mode!r}")
 
 
-def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signature(
+    spark: SparkSession, sf_dir: str, hash_mode: str = "xxhash64"
+) -> DataFrame:
     """Signature table straight from the documents scan."""
-    return signature_from_shingles(shingle_arrays(spark, sf_dir))
+    return signature_from_shingles(shingle_arrays(spark, sf_dir), hash_mode)
 
 
 def _sql_signature() -> str:
@@ -217,8 +245,12 @@ def dd02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dd03_minhash_signatures", oracle=_sql_signature())
 def dd03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: k=8 lexicographic-min md5 sketches per doc."""
-    return minhash_signature(spark, sf_dir)
+    """MinHash signatures: k=8 lexicographic-min md5 sketches per doc.
+
+    Pins ``hash_mode="md5"`` so the DuckDB oracle reproduces the exact
+    signature bytes; the API default is xxhash64 (see module doc).
+    """
+    return minhash_signature(spark, sf_dir, hash_mode="md5")
 
 
 def _sql_lsh_pairs() -> str:
@@ -254,8 +286,9 @@ def _sql_lsh_pairs() -> str:
     """
 
 
-@register("dd04_minhash_lsh_pairs", oracle=_sql_lsh_pairs())
-def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, hash_mode: str = "xxhash64"
+) -> DataFrame:
     """MinHash + banded LSH near-dup detection — the 100 TB dedup path.
 
     shingle → minhash (k=8) → band (4 bands × 2 rows) → bucket pairs →
@@ -274,15 +307,27 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     - the verify joins per-doc shingle *arrays* and intersects JVM-side
       (``array_intersect``) instead of re-exploding shingles into a
       join+groupBy.
+
+    The band key combines each band's two min-hashes: ``xxhash64(h_a,
+    h_b)`` in production mode (numeric, codegen'd), ``md5(h_a || h_b)``
+    in oracle-compat mode (hex, reproducible in DuckDB).
     """
     sh_arr = shingle_arrays(spark, sf_dir).persist()
-    sig = signature_from_shingles(sh_arr)
-    band_cols = F.array(
-        *[
-            F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
-            for b in range(NUM_BANDS)
-        ]
-    )
+    sig = signature_from_shingles(sh_arr, hash_mode)
+    if hash_mode == "md5":
+        band_cols = F.array(
+            *[
+                F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
+                for b in range(NUM_BANDS)
+            ]
+        )
+    else:
+        band_cols = F.array(
+            *[
+                F.xxhash64(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+                for b in range(NUM_BANDS)
+            ]
+        )
     bands = sig.select(
         "doc_id", F.posexplode(band_cols).alias("b", "band_key")
     )
@@ -327,6 +372,25 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(jacc >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", duck_round(jacc, 4).alias("jaccard")
     )
+
+
+@register("dd04_minhash_lsh_pairs", oracle=_sql_lsh_pairs())
+def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-compat LSH pairs: pins ``hash_mode="md5"`` so DuckDB
+    reproduces the exact candidate buckets (LSH output depends on the
+    hash; value parity requires both engines hash alike)."""
+    return minhash_lsh_pairs(spark, sf_dir, hash_mode="md5")
+
+
+@register("dd09_minhash_lsh_pairs_xxh")
+def dd09_minhash_lsh_pairs_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-mode LSH pairs (seeded ``xxhash64``, numeric band
+    keys) — no hex materialization, all hashing codegen'd. No SQL
+    oracle: DuckDB cannot compute xxhash64, and the candidate set is
+    hash-dependent; correctness is covered by the pytest property that
+    every emitted pair is in the exact n-gram-Jaccard answer (dd02)
+    with the same jaccard value."""
+    return minhash_lsh_pairs(spark, sf_dir, hash_mode="xxhash64")
 
 
 def _sql_simhash() -> str:

@@ -428,3 +428,30 @@ def test_runtime_bloom_filter_injects_on_selective_big_join(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_xxhash_lsh_pairs_subset_of_exact_jaccard(spark, sf_dir):
+    """dd09 (production xxhash64 LSH) has no SQL oracle — DuckDB can't
+    compute xxhash64 and LSH candidates are hash-dependent. Its
+    correctness contract: every emitted pair must appear in the exact
+    n-gram-Jaccard answer (dd02) with the identical jaccard value, and
+    recall must be in the same regime as the md5 twin (both are uniform
+    hash families over the same banding scheme)."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dd02_ngram_jaccard_pairs"].fn(spark, sf_dir).collect()
+    }
+    xxh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dd09_minhash_lsh_pairs_xxh"].fn(spark, sf_dir).collect()
+    }
+    md5 = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dd04_minhash_lsh_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert set(xxh) <= set(exact), set(xxh) - set(exact)
+    for pair, j in xxh.items():
+        assert j == exact[pair], (pair, j, exact[pair])
+    # same banding math => comparable recall (allow hash-luck slack)
+    if exact:
+        assert len(xxh) >= max(1, len(md5) // 2), (len(xxh), len(md5), len(exact))

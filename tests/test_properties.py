@@ -61,11 +61,11 @@ def test_duck_round_matches_duckdb_round(spark, vals):
         .select(duck_round("v", 2).alias("r"))
         .collect()
     ]
-    con = duckdb.connect()
-    want = [
-        con.execute("SELECT ROUND(CAST(? AS DOUBLE), 2)", [v]).fetchone()[0]
-        for v in vals
-    ]
+    with duckdb.connect() as con:
+        want = [
+            con.execute("SELECT ROUND(CAST(? AS DOUBLE), 2)", [v]).fetchone()[0]
+            for v in vals
+        ]
     assert got == pytest.approx(want, abs=0.0), (vals, got, want)
 
 
@@ -100,13 +100,13 @@ def test_duck_round_boundary_scales(spark, scale, vals):
         .select(duck_round("v", scale).alias("r"))
         .collect()
     ]
-    con = duckdb.connect()
-    want = [
-        con.execute(
-            f"SELECT ROUND(CAST(? AS DOUBLE), {scale})", [v]
-        ).fetchone()[0]
-        for v in vals
-    ]
+    with duckdb.connect() as con:
+        want = [
+            con.execute(
+                f"SELECT ROUND(CAST(? AS DOUBLE), {scale})", [v]
+            ).fetchone()[0]
+            for v in vals
+        ]
     assert got == pytest.approx(want, abs=0.0), (vals, got, want)
 
 
