@@ -97,19 +97,34 @@ def make_fake_decoder() -> "callable":
     def fake_decode_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
         import pandas as _pd
 
         for pdf in batches:
-            byte_len = pdf["payload"].map(len)
-            checksum = pdf["payload"].map(lambda b: int(sum(b)))
+            n = len(pdf)
+            lens = np.fromiter(
+                (len(b) for b in pdf["payload"]), dtype=np.int64, count=n
+            )
+            # vectorized per-row byte sums: one flat uint8 view over the
+            # whole batch + prefix sums, then segment differences — no
+            # per-row Python iteration over payload bytes
+            if n:
+                buf = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
+                csum = np.concatenate(
+                    ([0], np.cumsum(buf, dtype=np.int64))
+                )
+                ends = np.cumsum(lens)
+                checksum = csum[ends] - csum[ends - lens]
+            else:
+                checksum = np.array([], dtype=np.int64)
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": byte_len.astype("int32"),
-                    "width": (byte_len % 256).astype("int32"),
-                    "height": ((byte_len // 256) % 256 + 1).astype("int32"),
-                    "n_frames": (byte_len % 7 + 1).astype("int32"),
-                    "feature_checksum": checksum.astype("int64"),
+                    "byte_len": lens.astype("int32"),
+                    "width": (lens % 256).astype("int32"),
+                    "height": ((lens // 256) % 256 + 1).astype("int32"),
+                    "n_frames": (lens % 7 + 1).astype("int32"),
+                    "feature_checksum": checksum,
                 }
             )
 
@@ -173,27 +188,46 @@ def make_fake_frame_sampler() -> "callable":
     def sample_frames(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
         import pandas as _pd
 
+        cols = [
+            "doc_id", "frame_idx", "frame_offset",
+            "frame_len", "frame_checksum",
+        ]
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                n_frames = len(b) % 7 + 1  # same fake property as mm02
-                k = min(MAX_SAMPLED_FRAMES, n_frames)
-                stride = max(1, len(b) // k)
-                for i in range(k):
-                    off = i * stride
-                    chunk = b[off : off + stride]
-                    rows.append(
-                        (int(doc_id), i, off, len(chunk), int(sum(chunk)))
-                    )
+            n = len(pdf)
+            if not n:
+                yield _pd.DataFrame(
+                    {c: _pd.Series(dtype="int64") for c in cols}
+                )
+                continue
+            lens = np.fromiter(
+                (len(b) for b in pdf["payload"]), dtype=np.int64, count=n
+            )
+            buf = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
+            csum = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
+            doc_start = np.cumsum(lens) - lens
+            n_frames = lens % 7 + 1  # same fake property as mm02
+            k = np.minimum(MAX_SAMPLED_FRAMES, n_frames)
+            stride = np.maximum(1, lens // k)
+            # fan out: doc d repeats k[d] times with frame_idx 0..k[d]-1
+            doc = np.repeat(np.arange(n), k)
+            frame_idx = np.arange(k.sum()) - np.repeat(np.cumsum(k) - k, k)
+            off = frame_idx * stride[doc]
+            # chunk = payload[off : off+stride] → len(chunk) clips at EOF
+            # (only reachable for empty payloads, where stride floors at 1)
+            frame_len = np.clip(lens[doc] - off, 0, stride[doc])
+            lo = doc_start[doc] + np.minimum(off, lens[doc])
+            checksum = csum[lo + frame_len] - csum[lo]
             yield _pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "frame_idx", "frame_offset",
-                    "frame_len", "frame_checksum",
-                ],
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[doc],
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_offset": off.astype("int32"),
+                    "frame_len": frame_len.astype("int32"),
+                    "frame_checksum": checksum,
+                }
             )
 
     return sample_frames
