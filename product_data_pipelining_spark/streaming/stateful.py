@@ -120,56 +120,89 @@ def foreach_batch_upsert(
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType
+
+    SRC = "__pdp_src__"
+    RN = "__pdp_rn__"
 
     def _merge(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # "First batch" means the target path does not exist — nothing
-        # else. A transient read failure (permissions blip, eventual
-        # consistency, corrupt footer) must PROPAGATE so foreachBatch
-        # fails and the checkpoint retries the batch; swallowing it
-        # here would silently replace the whole target with one
-        # micro-batch. Existence goes through the Hadoop FS API so any
-        # supported scheme (file://, s3a://, ...) answers correctly.
-        hpath = spark._jvm.org.apache.hadoop.fs.Path(target_path)
+        # All existence / delete / rename operations go through the
+        # Hadoop FS API, so the swap protocol below works on any
+        # supported scheme (file://, s3a://, ...), not just the local
+        # filesystem. A transient read failure (permissions blip,
+        # eventual consistency, corrupt footer) must PROPAGATE so
+        # foreachBatch fails and the checkpoint retries the batch;
+        # swallowing it would silently replace the whole target with
+        # one micro-batch.
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(target_path)
+        stage_path = target_path + "_next"
+        hstage = jvm.org.apache.hadoop.fs.Path(stage_path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        batch_df = batch_df.withColumn("__src", F.lit(1))
+        # Crash recovery: a death between delete(target) and
+        # rename(stage, target) leaves a COMPLETE merged result in the
+        # stage dir and no target. Promote it before merging, so the
+        # replayed batch merges against the preserved history instead
+        # of treating itself as the first batch (which would overwrite
+        # the stage dir and silently lose everything before this
+        # batch). A *partial* stage dir is unreachable in this state:
+        # the stage write only runs while the target still exists.
+        if not fs.exists(hpath) and fs.exists(hstage):
+            fs.rename(hstage, hpath)
+        for c in (SRC, RN):
+            if c in batch_df.columns:
+                raise ValueError(
+                    f"foreach_batch_upsert: input must not contain "
+                    f"reserved column {c!r}"
+                )
+        batch_df = batch_df.withColumn(SRC, F.lit(1))
         if fs.exists(hpath):
             existing = spark.read.parquet(target_path).withColumn(
-                "__src", F.lit(0)
+                SRC, F.lit(0)
             )
             combined = existing.unionByName(batch_df)
         else:
             combined = batch_df
         # Tiebreak beyond order_col: the incoming batch beats the
-        # stored row (__src desc — a replayed batch re-applies
-        # idempotently), then every remaining column, so the kept row
-        # is a pure function of the data, not of task scheduling.
+        # stored row (SRC desc — a replayed batch re-applies
+        # idempotently), then every remaining *orderable* column, so
+        # the kept row is a pure function of the data, not of task
+        # scheduling. Map columns are excluded (Spark cannot sort
+        # them); ties that differ only in a map column fall back to
+        # the SRC ordering, which is still deterministic per replay.
+        fields = {f.name: f.dataType for f in combined.schema.fields}
         rest = [
             c
             for c in combined.columns
-            if c not in (*keys, order_col, "__src")
+            if c not in (*keys, order_col, SRC)
+            and not isinstance(fields[c], MapType)
         ]
         w = Window.partitionBy(*keys).orderBy(
             F.col(order_col).desc(),
-            F.col("__src").desc(),
+            F.col(SRC).desc(),
             *[F.col(c).desc() for c in rest],
         )
         deduped = (
-            combined.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "__src")
+            combined.withColumn(RN, F.row_number().over(w))
+            .filter(F.col(RN) == 1)
+            .drop(RN, SRC)
         )
-        # rewrite via a staging dir would be the production move; the
-        # overwrite here keeps the local test hermetic
-        deduped.cache().count()  # materialize before overwriting source
-        try:
-            deduped.write.mode("overwrite").parquet(target_path + "_next")
-            import shutil
-
-            shutil.rmtree(target_path, ignore_errors=True)
-            shutil.move(target_path + "_next", target_path)
-        finally:
-            deduped.unpersist()
+        # Stage-and-swap: write the merged result beside the target,
+        # then delete + rename through the same FS handle. The target
+        # is never the write destination, so a mid-write failure
+        # leaves it intact; the only vulnerable window (between delete
+        # and rename) is covered by the promotion above. On a real
+        # lake this whole body becomes a Delta/Iceberg MERGE INTO and
+        # the swap disappears.
+        deduped.write.mode("overwrite").parquet(stage_path)
+        fs.delete(hpath, True)
+        if not fs.rename(hstage, hpath):
+            raise IOError(
+                f"foreach_batch_upsert: rename {stage_path} -> "
+                f"{target_path} failed; stage dir preserved for the "
+                "checkpoint retry's promotion path"
+            )
 
     return (
         stream_df.writeStream.foreachBatch(_merge)

@@ -4,20 +4,52 @@ Mimics the driver's correctness gate: run the Spark query and the oracle
 SQL on the same parquet tables, sort columns by name, sort rows, compare
 values. Floats must match to high precision (both sides round inside the
 query, so residual differences indicate a real semantics gap).
+
+The sweep runs at BOTH sf0.001 (fast loop) and sf0.01 (the driver's
+correctness-gate scale), so the queries outside the driver's 50-row
+window are verified at the driver's own scale factor, not just the
+small one. Setting TEST_SF_DIR collapses the matrix to that single SF.
 """
 
 from __future__ import annotations
 
 import math
+import os
 
+import duckdb
 import pandas as pd
 import pytest
 
+from product_data_pipelining_spark.io import TPCH_TABLES
 from product_data_pipelining_spark.registry import all_queries
 
 QUERIES = all_queries()
 ORACLE_CASES = [name for name, spec in QUERIES.items() if spec.oracle is not None]
 ROWS_ONLY_CASES = [name for name, spec in QUERIES.items() if spec.oracle is None]
+
+if "TEST_SF_DIR" in os.environ:
+    SF_DIRS = [os.environ["TEST_SF_DIR"]]
+else:
+    SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    SF_DIRS = [d for d in SF_DIRS if os.path.isdir(d)] or [
+        "/root/testdata/sf0.001"
+    ]
+
+
+@pytest.fixture(scope="module", params=SF_DIRS, ids=[d.rsplit("/", 1)[-1] for d in SF_DIRS])
+def par_sf_dir(request):
+    return request.param
+
+
+@pytest.fixture(scope="module")
+def par_ddb(par_sf_dir):
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{par_sf_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -48,10 +80,10 @@ def _kinds(df: pd.DataFrame) -> list[str]:
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
-def test_oracle_parity(name, spark, ddb, sf_dir):
+def test_oracle_parity(name, spark, par_ddb, par_sf_dir):
     spec = QUERIES[name]
-    got_raw = spec.fn(spark, sf_dir).toPandas()
-    want_raw = ddb.execute(spec.oracle).df()
+    got_raw = spec.fn(spark, par_sf_dir).toPandas()
+    want_raw = par_ddb.execute(spec.oracle).df()
     got_raw_kinds, want_raw_kinds = _kinds(got_raw), _kinds(want_raw)
     got = normalize(got_raw)
     want = normalize(want_raw)
@@ -78,8 +110,8 @@ def test_oracle_parity(name, spark, ddb, sf_dir):
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_CASES)
-def test_rows_only_queries_run(name, spark, sf_dir):
+def test_rows_only_queries_run(name, spark, par_sf_dir):
     spec = QUERIES[name]
-    df = spec.fn(spark, sf_dir)
+    df = spec.fn(spark, par_sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0

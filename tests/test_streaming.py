@@ -256,3 +256,92 @@ def test_streaming_enrich_static_matches_batch_join(spark, sf_dir, replay_dir):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g and g == w
+
+
+def test_foreach_batch_upsert_promotes_orphaned_stage(spark, tmp_path):
+    """Crash recovery: if a previous run died between delete(target) and
+    rename(stage, target), the stage dir holds the complete merged
+    history and the target is missing. The next merge must promote the
+    stage before merging — treating the replayed batch as a first batch
+    would silently drop all prior history."""
+    from product_data_pipelining_spark.streaming.stateful import (
+        foreach_batch_upsert,
+    )
+
+    target = str(tmp_path / "promote_target")
+    # simulate the post-crash state: history lives only in target_next
+    hist = spark.createDataFrame(
+        [(1, "a", 10, 1.0), (2, "b", 20, 2.0)],
+        "user_id long, event_type string, ts long, value double",
+    )
+    hist.write.parquet(target + "_next")
+    # replayed micro-batch: updates user 1, adds user 3
+    replay_dir = str(tmp_path / "replay_src")
+    spark.createDataFrame(
+        [(1, "a", 15, 9.0), (3, "c", 30, 3.0)],
+        "user_id long, event_type string, ts long, value double",
+    ).write.parquet(replay_dir)
+    src = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts long, value double"
+        )
+        .parquet(replay_dir)
+    )
+    q = foreach_batch_upsert(src, target, ["user_id", "event_type"], "ts")
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["event_type"], r["ts"])
+        for r in spark.read.parquet(target).collect()
+    }
+    # user 2's history must survive; user 1 takes the newer replay row
+    assert got == {(1, "a", 15), (2, "b", 20), (3, "c", 30)}
+
+
+def test_foreach_batch_upsert_rejects_reserved_columns(spark, tmp_path):
+    from product_data_pipelining_spark.streaming.stateful import (
+        foreach_batch_upsert,
+    )
+
+    replay_dir = str(tmp_path / "reserved_src")
+    spark.createDataFrame(
+        [(1, 10, 1)], "user_id long, ts long, __pdp_src__ long"
+    ).write.parquet(replay_dir)
+    src = spark.readStream.schema(
+        "user_id long, ts long, __pdp_src__ long"
+    ).parquet(replay_dir)
+    q = foreach_batch_upsert(
+        src, str(tmp_path / "reserved_target"), ["user_id"], "ts"
+    )
+    import pyspark.errors
+
+    try:
+        q.awaitTermination(180)
+        raised = False
+    except pyspark.errors.exceptions.base.PySparkException as exc:
+        raised = "reserved column" in str(exc)
+    assert raised, "expected reserved-column ValueError to propagate"
+
+
+def test_foreach_batch_upsert_tolerates_map_columns(spark, tmp_path):
+    """Map-typed payload columns are excluded from the tiebreak sort
+    (Spark cannot order maps) but must flow through the merge intact."""
+    from product_data_pipelining_spark.streaming.stateful import (
+        foreach_batch_upsert,
+    )
+
+    replay_dir = str(tmp_path / "map_src")
+    spark.createDataFrame(
+        [(1, 10, {"k": "v1"}), (1, 20, {"k": "v2"}), (2, 5, {"k": "x"})],
+        "user_id long, ts long, attrs map<string,string>",
+    ).write.parquet(replay_dir)
+    src = spark.readStream.schema(
+        "user_id long, ts long, attrs map<string,string>"
+    ).parquet(replay_dir)
+    target = str(tmp_path / "map_target")
+    q = foreach_batch_upsert(src, target, ["user_id"], "ts")
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["ts"], r["attrs"]["k"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {(1, 20, "v2"), (2, 5, "x")}
