@@ -58,6 +58,194 @@ def merge_upsert(existing: DataFrame, updates: DataFrame, keys: Sequence[str]) -
     return existing_only.unionByName(updates)
 
 
+class UpsertTarget:
+    """Storage seam for keyed upserts (reference ``INSERT OR REPLACE``,
+    ``main_pipeline.py:326-352,420-435``).
+
+    ``merge(updates, keys, version_col)`` applies last-writer-wins into
+    the target: the row with the highest ``version_col`` per key
+    survives; on version ties the incoming update beats the stored row
+    (so a replayed batch re-applies idempotently). Implementations:
+
+    - :class:`ParquetUpsertTarget` — plain-Parquet stand-in: read the
+      target, rank with a ``row_number`` window, stage-and-swap rewrite.
+      Correct anywhere, but every merge rewrites the full target; fine
+      for marts and tests, wrong for a 100 TB fact table.
+    - :class:`DeltaUpsertTarget` — the 100 TB path: a transactional
+      ``MERGE INTO`` that rewrites only the files containing matched
+      keys. Requires the ``delta-spark`` package + Delta-enabled
+      session (not installed in this container; the class import-gates
+      and raises a clear error).
+
+    The streaming sink (``streaming.stateful.foreach_batch_upsert``)
+    drives whichever target it is given, so switching a pipeline from
+    parquet to Delta is a one-line target swap, not a rewrite.
+    """
+
+    def read(self) -> "DataFrame | None":
+        """Current target contents, or None if the target doesn't exist."""
+        raise NotImplementedError
+
+    def merge(
+        self,
+        updates: DataFrame,
+        keys: Sequence[str],
+        version_col: str,
+    ) -> None:
+        raise NotImplementedError
+
+
+class ParquetUpsertTarget(UpsertTarget):
+    """Plain-Parquet upsert with a crash-safe stage-and-swap rewrite.
+
+    Swap protocol (all FS ops through the Hadoop FileSystem handle, so
+    any supported scheme works):
+
+    1. if the target is missing but the stage dir exists, a previous
+       merge died between delete and rename — the stage holds the
+       complete merged history, so promote it first;
+    2. write the merged result to the stage dir (the target is never a
+       write destination — a mid-write death leaves it intact);
+    3. delete the target, rename the stage into place. A death between
+       3's delete and rename is healed by step 1 on the next merge.
+    """
+
+    _SRC = "__pdp_src__"
+    _RN = "__pdp_rn__"
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._stage = path + "_next"
+
+    def _fs_and_paths(self):
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        hstage = jvm.org.apache.hadoop.fs.Path(self._stage)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, hpath, hstage
+
+    def read(self) -> "DataFrame | None":
+        fs, hpath, hstage = self._fs_and_paths()
+        if not fs.exists(hpath) and fs.exists(hstage):
+            fs.rename(hstage, hpath)  # promote orphaned stage (step 1)
+        if not fs.exists(hpath):
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def merge(
+        self,
+        updates: DataFrame,
+        keys: Sequence[str],
+        version_col: str,
+    ) -> None:
+        from pyspark.sql.types import MapType
+
+        for c in (self._SRC, self._RN):
+            if c in updates.columns:
+                raise ValueError(
+                    f"upsert: input must not contain reserved column {c!r}"
+                )
+        existing = self.read()
+        updates = updates.withColumn(self._SRC, F.lit(1))
+        if existing is not None:
+            combined = existing.withColumn(self._SRC, F.lit(0)).unionByName(
+                updates
+            )
+        else:
+            combined = updates
+        # version desc, then update-beats-stored, then every remaining
+        # orderable column desc: the kept row is a pure function of the
+        # data, not of task scheduling. Map columns can't be sorted —
+        # ties differing only in a map fall back to the _SRC ordering.
+        fields = {f.name: f.dataType for f in combined.schema.fields}
+        rest = [
+            c
+            for c in combined.columns
+            if c not in (*keys, version_col, self._SRC)
+            and not isinstance(fields[c], MapType)
+        ]
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(version_col).desc(),
+            F.col(self._SRC).desc(),
+            *[F.col(c).desc() for c in rest],
+        )
+        deduped = (
+            combined.withColumn(self._RN, F.row_number().over(w))
+            .filter(F.col(self._RN) == 1)
+            .drop(self._RN, self._SRC)
+        )
+        fs, hpath, hstage = self._fs_and_paths()
+        deduped.write.mode("overwrite").parquet(self._stage)
+        fs.delete(hpath, True)
+        if not fs.rename(hstage, hpath):
+            raise IOError(
+                f"upsert: rename {self._stage} -> {self.path} failed; "
+                "stage dir preserved for the next merge's promotion path"
+            )
+
+
+class DeltaUpsertTarget(UpsertTarget):
+    """Transactional ``MERGE INTO`` upsert on a Delta Lake table.
+
+    The production implementation of the seam: Delta's MERGE rewrites
+    only the files containing matched keys (plus a transaction-log
+    commit), so merge cost scales with the update batch, not the
+    target — the property the parquet stand-in lacks at 100 TB.
+    Requires ``delta-spark`` and a Delta-enabled SparkSession
+    (``spark.sql.extensions`` + catalog config); neither ships in this
+    container, so construction raises ``ImportError`` with the recipe.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        try:
+            from delta.tables import DeltaTable  # noqa: F401
+        except ImportError as exc:  # pragma: no cover — not installed here
+            raise ImportError(
+                "DeltaUpsertTarget requires the delta-spark package and a "
+                "session built with spark.sql.extensions="
+                "io.delta.sql.DeltaSparkSessionExtension and "
+                "spark.sql.catalog.spark_catalog="
+                "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+            ) from exc
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> "DataFrame | None":  # pragma: no cover — needs delta
+        from delta.tables import DeltaTable
+
+        if not DeltaTable.isDeltaTable(self.spark, self.path):
+            return None
+        return self.spark.read.format("delta").load(self.path)
+
+    def merge(  # pragma: no cover — needs delta
+        self,
+        updates: DataFrame,
+        keys: Sequence[str],
+        version_col: str,
+    ) -> None:
+        from delta.tables import DeltaTable
+
+        if not DeltaTable.isDeltaTable(self.spark, self.path):
+            # first write creates the table; dedup the batch itself
+            upsert_last_writer_wins(updates, keys, version_col).write.format(
+                "delta"
+            ).save(self.path)
+            return
+        # newest-version-per-key view of the incoming batch, so the
+        # MERGE source has at most one row per key (MERGE requirement)
+        src = upsert_last_writer_wins(updates, keys, version_col)
+        cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+        (
+            DeltaTable.forPath(self.spark, self.path)
+            .alias("t")
+            .merge(src.alias("u"), cond)
+            .whenMatchedUpdateAll(f"u.{version_col} >= t.{version_col}")
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+
+
 @register(
     "s05_upsert_last_writer_wins",
     oracle="""

@@ -103,106 +103,38 @@ def streaming_dedup(events_stream: DataFrame, keys: list[str], ts_col: str = "ts
 
 
 def foreach_batch_upsert(
-    stream_df, target_path: str, keys: list[str], order_col: str
+    stream_df, target_path: str, keys: list[str], order_col: str,
+    target: "object | None" = None,
 ):
     """Streaming upsert sink: foreachBatch + last-writer-wins merge.
 
     The streaming twin of the reference's ``INSERT OR REPLACE`` load
     path (``main_pipeline.py:326-352``): each micro-batch is merged
-    into the parquet target keyed on ``keys``, newest ``order_col``
-    winning. foreachBatch gives the batch DataFrame API (joins, window
-    dedup, arbitrary writers) inside a stream — the standard way to run
-    a MERGE against a store with no native streaming sink. The target
-    rewrite is full-file here; on a real lake the same callback body
-    becomes a Delta/Iceberg MERGE INTO, keyed identically.
+    into the target keyed on ``keys``, newest ``order_col`` winning.
+    foreachBatch gives the batch DataFrame API inside a stream — the
+    standard way to run a MERGE against a store with no native
+    streaming sink.
+
+    The merge itself goes through the :class:`operators.upsert
+    .UpsertTarget` seam: by default a ``ParquetUpsertTarget`` at
+    ``target_path`` (crash-safe stage-and-swap full rewrite — correct
+    anywhere, right-sized for marts and tests); pass
+    ``target=DeltaUpsertTarget(spark, path)`` on a Delta-enabled
+    cluster to get a transactional MERGE INTO whose cost scales with
+    the batch instead of the target — the 100 TB path. Any merge
+    error PROPAGATES so foreachBatch fails and the checkpoint retries
+    the batch; swallowing it would silently drop data.
 
     Returns the StreamingQuery; callers own awaitTermination.
     """
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import MapType
-
-    SRC = "__pdp_src__"
-    RN = "__pdp_rn__"
 
     def _merge(batch_df, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # All existence / delete / rename operations go through the
-        # Hadoop FS API, so the swap protocol below works on any
-        # supported scheme (file://, s3a://, ...), not just the local
-        # filesystem. A transient read failure (permissions blip,
-        # eventual consistency, corrupt footer) must PROPAGATE so
-        # foreachBatch fails and the checkpoint retries the batch;
-        # swallowing it would silently replace the whole target with
-        # one micro-batch.
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(target_path)
-        stage_path = target_path + "_next"
-        hstage = jvm.org.apache.hadoop.fs.Path(stage_path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        # Crash recovery: a death between delete(target) and
-        # rename(stage, target) leaves a COMPLETE merged result in the
-        # stage dir and no target. Promote it before merging, so the
-        # replayed batch merges against the preserved history instead
-        # of treating itself as the first batch (which would overwrite
-        # the stage dir and silently lose everything before this
-        # batch). A *partial* stage dir is unreachable in this state:
-        # the stage write only runs while the target still exists.
-        if not fs.exists(hpath) and fs.exists(hstage):
-            fs.rename(hstage, hpath)
-        for c in (SRC, RN):
-            if c in batch_df.columns:
-                raise ValueError(
-                    f"foreach_batch_upsert: input must not contain "
-                    f"reserved column {c!r}"
-                )
-        batch_df = batch_df.withColumn(SRC, F.lit(1))
-        if fs.exists(hpath):
-            existing = spark.read.parquet(target_path).withColumn(
-                SRC, F.lit(0)
-            )
-            combined = existing.unionByName(batch_df)
-        else:
-            combined = batch_df
-        # Tiebreak beyond order_col: the incoming batch beats the
-        # stored row (SRC desc — a replayed batch re-applies
-        # idempotently), then every remaining *orderable* column, so
-        # the kept row is a pure function of the data, not of task
-        # scheduling. Map columns are excluded (Spark cannot sort
-        # them); ties that differ only in a map column fall back to
-        # the SRC ordering, which is still deterministic per replay.
-        fields = {f.name: f.dataType for f in combined.schema.fields}
-        rest = [
-            c
-            for c in combined.columns
-            if c not in (*keys, order_col, SRC)
-            and not isinstance(fields[c], MapType)
-        ]
-        w = Window.partitionBy(*keys).orderBy(
-            F.col(order_col).desc(),
-            F.col(SRC).desc(),
-            *[F.col(c).desc() for c in rest],
-        )
-        deduped = (
-            combined.withColumn(RN, F.row_number().over(w))
-            .filter(F.col(RN) == 1)
-            .drop(RN, SRC)
-        )
-        # Stage-and-swap: write the merged result beside the target,
-        # then delete + rename through the same FS handle. The target
-        # is never the write destination, so a mid-write failure
-        # leaves it intact; the only vulnerable window (between delete
-        # and rename) is covered by the promotion above. On a real
-        # lake this whole body becomes a Delta/Iceberg MERGE INTO and
-        # the swap disappears.
-        deduped.write.mode("overwrite").parquet(stage_path)
-        fs.delete(hpath, True)
-        if not fs.rename(hstage, hpath):
-            raise IOError(
-                f"foreach_batch_upsert: rename {stage_path} -> "
-                f"{target_path} failed; stage dir preserved for the "
-                "checkpoint retry's promotion path"
-            )
+        from ..operators.upsert import ParquetUpsertTarget
+
+        tgt = target
+        if tgt is None:
+            tgt = ParquetUpsertTarget(batch_df.sparkSession, target_path)
+        tgt.merge(batch_df, keys, order_col)
 
     return (
         stream_df.writeStream.foreachBatch(_merge)

@@ -252,3 +252,38 @@ def test_schema_evolution_merge_and_projection(spark, tmp_path):
     pinned = spark.read.schema(pinned_schema).parquet(path)
     assert pinned.columns == ["id", "src"]
     assert pinned.count() == 8
+
+
+def test_parquet_upsert_target_merge_rounds(spark, tmp_path):
+    """UpsertTarget seam: sequential merges apply last-writer-wins with
+    update-beats-stored tie semantics, surviving across merges."""
+    from product_data_pipelining_spark.operators.upsert import (
+        DeltaUpsertTarget,
+        ParquetUpsertTarget,
+    )
+
+    tgt = ParquetUpsertTarget(spark, str(tmp_path / "t"))
+    assert tgt.read() is None
+    b1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "k long, v long, payload string"
+    )
+    tgt.merge(b1, ["k"], "v")
+    b2 = spark.createDataFrame(
+        [(1, 20, "a2"), (3, 5, "c"), (2, 10, "b2")],
+        "k long, v long, payload string",
+    )
+    tgt.merge(b2, ["k"], "v")
+    got = {(r["k"], r["v"], r["payload"]) for r in tgt.read().collect()}
+    # k=1 newer version wins; k=2 same version -> update beats stored
+    assert got == {(1, 20, "a2"), (2, 10, "b2"), (3, 5, "c")}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reserved"):
+        tgt.merge(
+            spark.createDataFrame([(1, 1, 1)], "k long, v long, __pdp_src__ long"),
+            ["k"],
+            "v",
+        )
+    # delta isn't installed in this container: the seam must say so
+    with _pytest.raises(ImportError, match="delta-spark"):
+        DeltaUpsertTarget(spark, str(tmp_path / "d"))
