@@ -246,6 +246,18 @@ LOCATION_ZIPS = [
 ]
 REQUEST_DELAY = 0.1
 REQUEST_TIMEOUT = 30
+MAX_RETRIES = 4  # attempts = MAX_RETRIES + 1
+BACKOFF_BASE_S = 0.5
+BACKOFF_CAP_S = 8.0
+RETRYABLE_STATUS = frozenset({429, 500, 502, 503, 504})
+
+
+class TransientHTTPError(RuntimeError):
+    """A retryable HTTP response (429 / 5xx)."""
+
+    def __init__(self, status: int, url: str):
+        super().__init__(f"HTTP {status} from {url}")
+        self.status = status
 
 
 class RestClient:
@@ -257,6 +269,14 @@ class RestClient:
     payloads instead — the test/CI path, and the shape a production
     deployment uses anyway (land payloads to object storage, flatten
     with Spark).
+
+    Every request retries transient failures — connection errors,
+    timeouts, HTTP 429/5xx (the reference logs and aborts per call,
+    ``main_pipeline.py:163-169,226-228``) — with capped exponential
+    backoff plus full jitter, bounded at ``MAX_RETRIES`` retries.
+    Non-retryable statuses (4xx other than 429) raise immediately.
+    ``transport`` / ``sleeper`` are injectable for tests (a flaky fake
+    transport) and so the backoff can be asserted without sleeping.
     """
 
     def __init__(
@@ -265,39 +285,73 @@ class RestClient:
         client_id: str | None = None,
         client_secret: str | None = None,
         replay_dir: str | None = None,
+        transport: "Any | None" = None,
+        sleeper: "Any" = time.sleep,
     ) -> None:
         self.base_url = base_url
         self.client_id = client_id
         self.client_secret = client_secret
         self.replay_dir = replay_dir
+        self.transport = transport
+        self._sleep = sleeper
+
+    def _default_transport(self, method: str, url: str, **kw: Any):
+        import requests  # driver-side only; never shipped to executors
+
+        return requests.request(method, url, timeout=REQUEST_TIMEOUT, **kw)
+
+    def _request(self, method: str, url: str, **kw: Any):
+        """One logical request = up to 1 + MAX_RETRIES attempts."""
+        import random
+
+        transport = self.transport or self._default_transport
+        last_exc: Exception | None = None
+        for attempt in range(MAX_RETRIES + 1):
+            try:
+                resp = transport(method, url, **kw)
+                status = getattr(resp, "status_code", 200)
+                if status in RETRYABLE_STATUS:
+                    raise TransientHTTPError(status, url)
+                if status >= 400:
+                    # permanent client error: no retry will change it
+                    resp.raise_for_status()
+                return resp
+            except TransientHTTPError as exc:
+                last_exc = exc
+            except Exception as exc:
+                # connection reset / timeout / DNS — retryable; but an
+                # HTTPError raised above for a permanent 4xx is final
+                if exc.__class__.__name__ == "HTTPError":
+                    raise
+                last_exc = exc
+            if attempt < MAX_RETRIES:
+                # capped exponential backoff, full jitter: desynchronizes
+                # concurrent clients hammering a recovering endpoint
+                cap = min(BACKOFF_CAP_S, BACKOFF_BASE_S * (2**attempt))
+                self._sleep(cap * random.random())
+        raise last_exc  # type: ignore[misc]
 
     # S1: main_pipeline.py:135-169
     def get_access_token(self) -> str:
         if self.replay_dir is not None:
             return "replay-token"
-        import requests  # driver-side only; never shipped to executors
-
-        resp = requests.post(
+        resp = self._request(
+            "POST",
             f"{self.base_url}/v1/connect/oauth2/token",
             auth=(self.client_id or "", self.client_secret or ""),
             data={"grant_type": "client_credentials", "scope": "product.compact"},
-            timeout=REQUEST_TIMEOUT,
         )
-        resp.raise_for_status()
         return resp.json()["access_token"]
 
     def _get(self, token: str, path: str, params: dict[str, Any]) -> list[dict]:
-        import requests
-
-        resp = requests.get(
+        resp = self._request(
+            "GET",
             f"{self.base_url}{path}",
             headers={"Authorization": f"Bearer {token}",
                      "Accept": "application/json"},
             params=params,
-            timeout=REQUEST_TIMEOUT,
         )
-        resp.raise_for_status()
-        time.sleep(REQUEST_DELAY)
+        self._sleep(REQUEST_DELAY)
         return resp.json().get("data", [])
 
     # S2: main_pipeline.py:172-228

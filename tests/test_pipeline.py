@@ -287,3 +287,77 @@ def test_parquet_upsert_target_merge_rounds(spark, tmp_path):
     # delta isn't installed in this container: the seam must say so
     with _pytest.raises(ImportError, match="delta-spark"):
         DeltaUpsertTarget(spark, str(tmp_path / "d"))
+
+
+def test_rest_client_retries_transient_failures():
+    """Bounded retry + backoff: connection errors and 5xx/429 retry with
+    jittered sleeps; permanent 4xx raise immediately; retries exhaust."""
+    from product_data_pipelining_spark.sources.ingest import (
+        MAX_RETRIES,
+        RestClient,
+        TransientHTTPError,
+    )
+
+    class FakeResp:
+        def __init__(self, status, payload=None):
+            self.status_code = status
+            self._payload = payload or {}
+
+        def json(self):
+            return self._payload
+
+        def raise_for_status(self):
+            if self.status_code >= 400:
+                raise _HTTPError(f"status {self.status_code}")
+
+    class _HTTPError(Exception):
+        pass
+
+    _HTTPError.__name__ = "HTTPError"
+
+    def make_client(script):
+        calls = []
+        sleeps = []
+
+        def transport(method, url, **kw):
+            calls.append((method, url))
+            step = script[min(len(calls) - 1, len(script) - 1)]
+            if isinstance(step, Exception):
+                raise step
+            return step
+
+        c = RestClient(transport=transport, sleeper=sleeps.append)
+        return c, calls, sleeps
+
+    # two connection blips, then success
+    ok = FakeResp(200, {"access_token": "tok", "data": [{"x": 1}]})
+    c, calls, sleeps = make_client(
+        [ConnectionError("reset"), TimeoutError("slow"), ok]
+    )
+    assert c.get_access_token() == "tok"
+    assert len(calls) == 3
+    assert len(sleeps) == 2 and all(0 <= s <= 8.0 for s in sleeps)
+
+    # 503 then success
+    c, calls, sleeps = make_client([FakeResp(503), ok])
+    assert c._get("tok", "/v1/locations", {}) == [{"x": 1}]
+    assert len(calls) == 2
+
+    # permanent 404: exactly one attempt, raises
+    c, calls, sleeps = make_client([FakeResp(404)])
+    try:
+        c._get("tok", "/v1/locations", {})
+        raise AssertionError("expected HTTPError")
+    except _HTTPError:
+        pass
+    assert len(calls) == 1 and sleeps == []
+
+    # persistent 500: exhausts MAX_RETRIES+1 attempts then raises
+    c, calls, sleeps = make_client([FakeResp(500)])
+    try:
+        c._get("tok", "/v1/locations", {})
+        raise AssertionError("expected TransientHTTPError")
+    except TransientHTTPError as exc:
+        assert exc.status == 500
+    assert len(calls) == MAX_RETRIES + 1
+    assert len(sleeps) == MAX_RETRIES
