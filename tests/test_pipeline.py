@@ -361,3 +361,26 @@ def test_rest_client_retries_transient_failures():
         assert exc.status == 500
     assert len(calls) == MAX_RETRIES + 1
     assert len(sleeps) == MAX_RETRIES
+
+
+def test_render_dashboard_static_html(spark, tmp_path):
+    """Serving layer: the five reference charts render to one
+    self-contained HTML file with SVG marks and table views."""
+    from product_data_pipelining_spark.models.pipeline_queries import (
+        ensure_fixtures,
+    )
+    from product_data_pipelining_spark.models.runner import (
+        build_models,
+        load_raw,
+    )
+    from product_data_pipelining_spark.models.serving import render_dashboard
+
+    m = build_models(load_raw(spark, ensure_fixtures()))
+    out = render_dashboard(m, str(tmp_path / "dashboard.html"))
+    text = open(out).read()
+    assert text.count("<svg") == 5
+    assert text.count("Table view") == 5  # accessibility relief per chart
+    assert "Category value map" in text
+    assert "legend" in text  # multi-series stacked chart carries a legend
+    # all five charts have data marks
+    assert text.count('class="mk') + text.count("mk\"") > 10
