@@ -26,8 +26,28 @@ from ..registry import register
 
 def hash_bucket(key: Column) -> Column:
     """First hex nibble (0-f) of md5 over the stringified key: 16
-    equal-probability, engine-portable buckets."""
+    equal-probability, engine-portable buckets.
+
+    md5 is deliberate here: split membership must be reproducible on
+    *any* engine (the DuckDB oracles, a different executor image, a
+    one-off pandas audit), and the cost is one digest per row over a
+    short id — noise next to the scan. For Spark-only pipelines that
+    bucket billions of rows per run, ``hash_bucket_xxh`` is the
+    JVM-intrinsic fast path (same stability guarantees, not
+    reproducible outside Spark)."""
     return F.substring(F.md5(key.cast("string")), 1, 1)
+
+
+def hash_bucket_xxh(key: Column, n_buckets: int = 16) -> Column:
+    """Spark-native bucket id in [0, n_buckets): ``pmod(xxhash64(key))``.
+
+    Same determinism contract as ``hash_bucket`` — membership is a pure
+    function of the key, independent of partitioning and cluster size —
+    but hashed with the codegen'd xxhash64 intrinsic instead of an md5
+    hex digest, so it stays cheap when the split keys are long strings
+    or composite. Not portable off Spark; use the md5 twin wherever a
+    second engine must reproduce the split."""
+    return F.pmod(F.xxhash64(key), F.lit(n_buckets))
 
 
 def _sql_bucket(expr: str) -> str:

@@ -455,3 +455,33 @@ def test_xxhash_lsh_pairs_subset_of_exact_jaccard(spark, sf_dir):
     # same banding math => comparable recall (allow hash-luck slack)
     if exact:
         assert len(xxh) >= max(1, len(md5) // 2), (len(xxh), len(md5), len(exact))
+
+
+def test_hash_bucket_xxh_stable_and_partition_independent(spark, sf_dir):
+    """The xxhash64 split twin: membership is a pure function of the
+    key — identical across repartitionings — and buckets are roughly
+    balanced."""
+    from product_data_pipelining_spark.operators.sampling import (
+        hash_bucket_xxh,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = {
+        (r["doc_id"], r["b"])
+        for r in docs.select(
+            "doc_id", hash_bucket_xxh(F.col("doc_id")).alias("b")
+        ).collect()
+    }
+    b = {
+        (r["doc_id"], r["b"])
+        for r in docs.repartition(7)
+        .select("doc_id", hash_bucket_xxh(F.col("doc_id")).alias("b"))
+        .collect()
+    }
+    assert a == b
+    buckets = {}
+    for _, bk in a:
+        buckets[bk] = buckets.get(bk, 0) + 1
+    assert len(buckets) == 16
+    n = len(a)
+    assert all(abs(c - n / 16) < n / 16 for c in buckets.values()), buckets
