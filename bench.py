@@ -129,13 +129,17 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
         print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
         if spec.oracle is not None:
-            dsamples = []
-            for _ in range(DUCK_REPEATS):
-                t0 = time.perf_counter()
-                con.execute(spec.oracle).fetchall()
-                dsamples.append(time.perf_counter() - t0)
-            duck_timings[name] = round(statistics.median(dsamples), 3)
-            print(f"#   duck: {duck_timings[name]:.3f}s", file=sys.stderr)
+            try:
+                dsamples = []
+                for _ in range(DUCK_REPEATS):
+                    t0 = time.perf_counter()
+                    con.execute(spec.oracle).fetchall()
+                    dsamples.append(time.perf_counter() - t0)
+                duck_timings[name] = round(statistics.median(dsamples), 3)
+                print(f"#   duck: {duck_timings[name]:.3f}s", file=sys.stderr)
+            except Exception as exc:  # a dead oracle must not kill the bench;
+                # the query drops out of BOTH sides of the ratio
+                print(f"# duck {name} failed: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     duck_total = round(sum(duck_timings.values()), 3)
