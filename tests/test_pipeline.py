@@ -384,3 +384,26 @@ def test_render_dashboard_static_html(spark, tmp_path):
     assert "legend" in text  # multi-series stacked chart carries a legend
     # all five charts have data marks
     assert text.count('class="mk') + text.count("mk\"") > 10
+
+
+def test_redact_pii_on_crafted_text(spark):
+    from pyspark.sql import functions as F
+
+    from product_data_pipelining_spark.operators.textops import redact_pii
+
+    rows = [
+        (1, "mail a@b.io and c.d+x@e-f.org, call 555-123-4567, host 192.168.0.1"),
+        (2, "clean text with no pii at all"),
+        (3, "edge: not-an-email @ test, 12-34-5678 short, 1.2.3.4 ip"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["red"]
+        for r in df.select(
+            "doc_id", redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    assert got[1] == "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP>"
+    assert got[2] == "clean text with no pii at all"
+    # malformed email and short phone untouched; bare IP redacted
+    assert got[3] == "edge: not-an-email @ test, 12-34-5678 short, <IP> ip"
