@@ -630,11 +630,13 @@ def tx11_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# PII redaction patterns — deliberately in the common subset of Java
-# regex (Spark) and RE2 (DuckDB) syntax so both engines match and
-# replace identically: no backreferences, no lookaround, no \b.
+# Public redaction API over the registered tx08 patterns, plus IPv4.
+# Patterns stay in the common subset of Java regex (Spark) and RE2
+# (DuckDB) — no backreferences, no lookaround — so tx08's oracle can
+# reproduce the email/phone rewrites exactly; the broader email class
+# here also covers upper-case/plus-tagged mailboxes for API callers.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+PII_PHONE_RE = _PII_PHONE
 PII_IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
 _PII_RULES = (
     (PII_EMAIL_RE, "<EMAIL>"),
@@ -645,77 +647,11 @@ _PII_RULES = (
 
 def redact_pii(c: Column) -> Column:
     """Replace emails, then phone numbers, then IPv4 literals with typed
-    placeholders. Pure ``regexp_replace`` chain: whole-stage codegen,
-    zero Python, applied in a fixed order so the output is deterministic
-    (the email pass runs first because its character class overlaps the
-    later patterns)."""
+    placeholders — the reusable API behind the registered/oracled
+    ``tx08_redact_pii`` query. Pure ``regexp_replace`` chain:
+    whole-stage codegen, zero Python, applied in a fixed order so the
+    output is deterministic (the email pass runs first because its
+    character class overlaps the later patterns)."""
     for pat, repl in _PII_RULES:
         c = F.regexp_replace(c, pat, repl)
     return c
-
-
-def _sql_redact(expr: str) -> str:
-    for pat, repl in _PII_RULES:
-        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
-    return expr
-
-
-# The synthetic corpus is PII-free word soup, so the registered query
-# deterministically plants PII in every 20th document (same expression
-# on both engines) — the redaction path is then exercised on real
-# matches while staying fully oracle-checkable.
-_SQL_PLANT = (
-    "CASE WHEN doc_id % 20 = 0 THEN text || ' contact user' || "
-    "CAST(doc_id AS VARCHAR) || '@example.com or 555-867-5309 from "
-    "10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || ' now' ELSE text END"
-)
-
-
-@register(
-    "tx12_pii_redaction",
-    oracle=f"""
-    WITH planted AS (
-      SELECT doc_id, {_SQL_PLANT} AS t FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
-           CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS INT) AS n_phones,
-           CAST(len(regexp_extract_all(t, '{PII_IP_RE}')) AS INT) AS n_ips,
-           CAST(length({_sql_redact("t")}) AS BIGINT) AS redacted_len,
-           md5({_sql_redact("t")}) AS redacted_fp
-    FROM planted
-    """,
-)
-def tx12_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing — the redaction pass every training-data pipeline
-    runs before text leaves the trust boundary.
-
-    Counts each PII family on the pre-redaction text, then applies the
-    typed-placeholder rewrite; the output carries the counts plus an
-    md5 fingerprint of the redacted text (both engines hash identical
-    bytes) instead of hauling the full text through the comparison.
-    Single-scan pure projection: every regex runs JVM-side inside
-    whole-stage codegen, zero shuffles — the same plan shape at 500
-    docs or 100 TB.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    planted = F.when(
-        F.col("doc_id") % 20 == 0,
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com or 555-867-5309 from 10.0.0."),
-            (F.col("doc_id") % 256).cast("string"),
-            F.lit(" now"),
-        ),
-    ).otherwise(F.col("text"))
-    t = docs.select("doc_id", planted.alias("t"))
-    return t.select(
-        "doc_id",
-        F.regexp_count("t", F.lit(PII_EMAIL_RE)).alias("n_emails"),
-        F.regexp_count("t", F.lit(PII_PHONE_RE)).alias("n_phones"),
-        F.regexp_count("t", F.lit(PII_IP_RE)).alias("n_ips"),
-        F.length(redact_pii(F.col("t"))).cast("long").alias("redacted_len"),
-        F.md5(redact_pii(F.col("t"))).alias("redacted_fp"),
-    )
