@@ -202,6 +202,7 @@ def test_q11_total_branch_reuses_grouped_exchange(spark, sf_dir):
     canonicalized subtree.)"""
     from product_data_pipelining_spark.plans.inspect import physical_plan
 
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         df = QUERIES["tpch_q11_important_stock"].fn(spark, sf_dir)
@@ -209,7 +210,7 @@ def test_q11_total_branch_reuses_grouped_exchange(spark, sf_dir):
         assert "ReusedExchange" in plan, plan[:2000]
         assert plan.count("lineitem.parquet") == 1, plan[:2000]
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
 
 
 def test_clustered_cache_elides_window_exchange(spark, sf_dir):

@@ -124,11 +124,11 @@ def test_det_sum_is_partition_independent_and_matches_duckdb(
         df.repartition(parts).agg(det_sum("v").alias("s")).collect()[0]["s"]
     )
     assert one == many, (vals, parts, one, many)
-    con = duckdb.connect()
     placeholders = ", ".join(f"({v!r})" for v in vals)
-    want = con.execute(
-        f"SELECT {sql_det_sum('v')} AS s FROM (VALUES {placeholders}) t(v)"
-    ).fetchone()[0]
+    with duckdb.connect() as con:
+        want = con.execute(
+            f"SELECT {sql_det_sum('v')} AS s FROM (VALUES {placeholders}) t(v)"
+        ).fetchone()[0]
     assert one == want, (vals, one, want)
 
 
