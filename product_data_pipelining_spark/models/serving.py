@@ -69,7 +69,14 @@ def _nice_ticks(vmax: float, n: int = 4) -> list[float]:
     if vmax <= 0:
         return [0.0, 1.0]
     raw = vmax / n
-    mag = 10 ** len(str(int(raw))) / 10 if raw >= 1 else 10 ** -(len(f"{raw:.10f}".split(".")[1].lstrip("0")) + 1) * 10
+    if raw >= 1:
+        mag = 10 ** len(str(int(raw))) / 10
+    else:
+        # Magnitude of the first significant digit: count *leading* zeros in
+        # the fractional part (0.0123 -> 1 leading zero -> mag 1e-2).
+        frac = f"{raw:.10f}".split(".")[1]
+        zeros = len(frac) - len(frac.lstrip("0"))
+        mag = 10.0 ** -(zeros + 1)
     for step in (1, 2, 2.5, 5, 10):
         if raw <= step * mag:
             tick = step * mag

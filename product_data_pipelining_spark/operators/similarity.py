@@ -28,6 +28,9 @@ QUERY_STRIDE = 50  # vec_id % 50 == 0 rows act as the query set
 # scales with the corpus" into a loud error instead of driver OOM.
 # 65536 queries x 64 f64 dims = 32 MiB, comfortably broadcastable.
 MAX_QUERY_BLOCK = 65536
+# Last sim01 query-block broadcast per SparkContext (keyed by id()):
+# lets each invocation release the previous run's executor copies.
+_LIVE_QUERY_BLOCK: dict = {}
 NEARDUP_COSINE = 0.4
 LSH_BITS = 4  # sign bits of the first 4 dims form the bucket
 CENT_STRIDE = 83  # vec_id % 83 == 7 rows act as IVF seed centroids
@@ -141,12 +144,22 @@ def sim01_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a query batch must be bounded independent of corpus size — "
             "shard the batch or raise the cap deliberately"
         )
+    # The broadcast must outlive this function (the returned DataFrame is
+    # lazy), so it can't be unpersisted here. Instead each new invocation
+    # releases the previous one's executor copies: accumulation across
+    # repeated runs (bench loops) is capped at ONE live sim01 broadcast
+    # per SparkContext, and the driver-side value is bounded by
+    # MAX_QUERY_BLOCK regardless.
+    prev = _LIVE_QUERY_BLOCK.pop(id(spark.sparkContext), None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
     q_block = spark.sparkContext.broadcast(
         (
             [int(r.vec_id) for r in q_rows],
             [list(map(float, r.embedding)) for r in q_rows],
         )
     )
+    _LIVE_QUERY_BLOCK[id(spark.sparkContext)] = q_block
 
     top_k = TOP_K
 

@@ -647,10 +647,13 @@ _PII_RULES = (
 
 def redact_pii(c: Column) -> Column:
     """Replace emails, then phone numbers, then IPv4 literals with typed
-    placeholders — the reusable API behind the registered/oracled
-    ``tx08_redact_pii`` query. Pure ``regexp_replace`` chain:
-    whole-stage codegen, zero Python, applied in a fixed order so the
-    output is deterministic (the email pass runs first because its
+    placeholders. Generalizes the registered/oracled ``tx08_redact_pii``
+    query's patterns (a strict superset: wider case-insensitive email
+    class, plus an IPv4 rule tx08 and its oracle do not apply) — it is
+    NOT the implementation behind tx08, whose narrower patterns are
+    pinned verbatim against the DuckDB oracle. Pure ``regexp_replace``
+    chain: whole-stage codegen, zero Python, applied in a fixed order so
+    the output is deterministic (the email pass runs first because its
     character class overlaps the later patterns)."""
     for pat, repl in _PII_RULES:
         c = F.regexp_replace(c, pat, repl)

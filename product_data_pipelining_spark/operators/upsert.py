@@ -25,6 +25,25 @@ from ..functions.rounding import duck_round
 from ..registry import register
 
 
+def _contains_map(dt) -> bool:
+    """True if ``dt`` holds a MapType at any nesting depth.
+
+    Spark refuses to sort map-typed expressions, and that includes maps
+    buried inside arrays or structs (``array<map<..>>`` raises the same
+    AnalysisException as a top-level map) — so the tiebreak ordering must
+    exclude them wherever they hide.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def upsert_last_writer_wins(
     df: DataFrame,
     keys: Sequence[str],
@@ -139,8 +158,6 @@ class ParquetUpsertTarget(UpsertTarget):
         keys: Sequence[str],
         version_col: str,
     ) -> None:
-        from pyspark.sql.types import MapType
-
         for c in (self._SRC, self._RN):
             if c in updates.columns:
                 raise ValueError(
@@ -156,14 +173,15 @@ class ParquetUpsertTarget(UpsertTarget):
             combined = updates
         # version desc, then update-beats-stored, then every remaining
         # orderable column desc: the kept row is a pure function of the
-        # data, not of task scheduling. Map columns can't be sorted —
-        # ties differing only in a map fall back to the _SRC ordering.
+        # data, not of task scheduling. Columns containing a map at ANY
+        # nesting depth (map, array<map>, struct<...map...>) can't be
+        # sorted — ties differing only there fall back to _SRC ordering.
         fields = {f.name: f.dataType for f in combined.schema.fields}
         rest = [
             c
             for c in combined.columns
             if c not in (*keys, version_col, self._SRC)
-            and not isinstance(fields[c], MapType)
+            and not _contains_map(fields[c])
         ]
         w = Window.partitionBy(*keys).orderBy(
             F.col(version_col).desc(),

@@ -260,6 +260,19 @@ class TransientHTTPError(RuntimeError):
         self.status = status
 
 
+class PermanentHTTPError(RuntimeError):
+    """A non-retryable HTTP response (4xx other than 429).
+
+    Raised from the *status code we already inspected* — classification
+    never depends on the transport's exception class names, so a custom
+    transport raising its own ``HTTPError`` for a 503 still retries.
+    """
+
+    def __init__(self, status: int, url: str):
+        super().__init__(f"HTTP {status} from {url}")
+        self.status = status
+
+
 class RestClient:
     """Thin OAuth2 client-credentials REST client with a replay mode.
 
@@ -313,16 +326,17 @@ class RestClient:
                 if status in RETRYABLE_STATUS:
                     raise TransientHTTPError(status, url)
                 if status >= 400:
-                    # permanent client error: no retry will change it
-                    resp.raise_for_status()
+                    # permanent client error: no retry will change it.
+                    # Classified on the inspected status, never on the
+                    # transport's exception class names.
+                    raise PermanentHTTPError(status, url)
                 return resp
+            except PermanentHTTPError:
+                raise
             except TransientHTTPError as exc:
                 last_exc = exc
             except Exception as exc:
-                # connection reset / timeout / DNS — retryable; but an
-                # HTTPError raised above for a permanent 4xx is final
-                if exc.__class__.__name__ == "HTTPError":
-                    raise
+                # connection reset / timeout / DNS — all retryable
                 last_exc = exc
             if attempt < MAX_RETRIES:
                 # capped exponential backoff, full jitter: desynchronizes

@@ -294,6 +294,7 @@ def test_rest_client_retries_transient_failures():
     jittered sleeps; permanent 4xx raise immediately; retries exhaust."""
     from product_data_pipelining_spark.sources.ingest import (
         MAX_RETRIES,
+        PermanentHTTPError,
         RestClient,
         TransientHTTPError,
     )
@@ -306,12 +307,11 @@ def test_rest_client_retries_transient_failures():
         def json(self):
             return self._payload
 
-        def raise_for_status(self):
-            if self.status_code >= 400:
-                raise _HTTPError(f"status {self.status_code}")
-
     class _HTTPError(Exception):
-        pass
+        """Transport-raised exception whose NAME collides with
+        requests' HTTPError — must still be treated as retryable,
+        because classification keys on inspected status codes, not
+        exception class names."""
 
     _HTTPError.__name__ = "HTTPError"
 
@@ -347,10 +347,16 @@ def test_rest_client_retries_transient_failures():
     c, calls, sleeps = make_client([FakeResp(404)])
     try:
         c._get("tok", "/v1/locations", {})
-        raise AssertionError("expected HTTPError")
-    except _HTTPError:
-        pass
+        raise AssertionError("expected PermanentHTTPError")
+    except PermanentHTTPError as exc:
+        assert exc.status == 404
     assert len(calls) == 1 and sleeps == []
+
+    # transport raises an exception NAMED HTTPError for what is really a
+    # transient blip: still retried (class names don't classify)
+    c, calls, sleeps = make_client([_HTTPError("503 mid-flight"), ok])
+    assert c._get("tok", "/v1/locations", {}) == [{"x": 1}]
+    assert len(calls) == 2
 
     # persistent 500: exhausts MAX_RETRIES+1 attempts then raises
     c, calls, sleeps = make_client([FakeResp(500)])
@@ -384,6 +390,23 @@ def test_render_dashboard_static_html(spark, tmp_path):
     assert "legend" in text  # multi-series stacked chart carries a legend
     # all five charts have data marks
     assert text.count('class="mk') + text.count("mk\"") > 10
+
+
+def test_nice_ticks_fractional_magnitudes():
+    """Tick steps for vmax<~4 derive from the first significant digit of
+    vmax/n — not the raw fallback (regression: the leading-zero count was
+    mis-derived, yielding un-nice ticks like 0.625 on small charts)."""
+    from product_data_pipelining_spark.models.serving import _nice_ticks
+
+    for vmax in (0.05, 0.625, 2.5, 0.0123, 0.9, 3.2):
+        ticks = _nice_ticks(vmax)
+        assert ticks[0] == 0.0 and ticks[-1] >= vmax - (ticks[1] / 2)
+        step = ticks[1]
+        # nice steps are 1/2/2.5/5 x a power of ten
+        mantissa = step / (10.0 ** __import__("math").floor(__import__("math").log10(step)))
+        assert round(mantissa, 6) in (1.0, 2.0, 2.5, 5.0), (vmax, ticks)
+    assert _nice_ticks(2.5) == [0.0, 1.0, 2.0]
+    assert _nice_ticks(0.0123) == [0.0, 0.005, 0.01]
 
 
 def test_redact_pii_on_crafted_text(spark):

@@ -345,3 +345,51 @@ def test_foreach_batch_upsert_tolerates_map_columns(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert got == {(1, 20, "v2"), (2, 5, "x")}
+
+
+def test_parquet_upsert_target_tolerates_nested_map_columns(spark, tmp_path):
+    """Maps buried inside arrays/structs are just as unorderable as
+    top-level maps — the tiebreak sort must skip them at any depth."""
+    from product_data_pipelining_spark.operators.upsert import (
+        ParquetUpsertTarget,
+        _contains_map,
+    )
+
+    schema = (
+        "k long, v long, tags array<map<string,string>>, "
+        "meta struct<name:string, attrs:map<string,string>>"
+    )
+    t = ParquetUpsertTarget(spark, str(tmp_path / "nested_map_target"))
+    t.merge(
+        spark.createDataFrame(
+            [(1, 10, [{"a": "1"}], ("x", {"m": "1"}))], schema
+        ),
+        keys=["k"],
+        version_col="v",
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(1, 20, [{"a": "2"}], ("y", {"m": "2"})),
+             (2, 5, [{"b": "9"}], ("z", {"m": "9"}))],
+            schema,
+        ),
+        keys=["k"],
+        version_col="v",
+    )
+    got = {
+        (r["k"], r["v"], r["tags"][0]["a" if r["k"] == 1 else "b"],
+         r["meta"]["name"])
+        for r in t.read().collect()
+    }
+    assert got == {(1, 20, "2", "y"), (2, 5, "9", "z")}
+
+    from pyspark.sql.types import (
+        ArrayType, LongType, MapType, StringType, StructField, StructType,
+    )
+
+    m = MapType(StringType(), StringType())
+    assert _contains_map(m)
+    assert _contains_map(ArrayType(m))
+    assert _contains_map(StructType([StructField("x", ArrayType(m))]))
+    assert not _contains_map(ArrayType(LongType()))
+    assert not _contains_map(StructType([StructField("x", StringType())]))
