@@ -139,6 +139,73 @@ def decode_image(payload: bytes) -> object:
     )
 
 
+def make_pil_decoder() -> "callable":
+    """Real PIL-backed decode kernel with the same contract/schema as
+    ``make_fake_decoder`` — width/height from the decoded image,
+    ``n_frames`` from multi-frame formats (GIF/TIFF), checksum as the
+    payload byte sum. Import errors surface at *kernel-build* time on
+    the driver (fail fast), not per-task on executors; the kernel body
+    re-imports lazily so the closure still pickles by value.
+    """
+    import PIL.Image  # noqa: F401 — fail fast on the driver if absent
+
+    def pil_decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        import pandas as _pd
+        from PIL import Image
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "byte_len", "width", "height",
+                "n_frames", "feature_checksum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = Image.open(io.BytesIO(payload))
+                rows["doc_id"].append(doc_id)
+                rows["byte_len"].append(len(payload))
+                rows["width"].append(img.width)
+                rows["height"].append(img.height)
+                rows["n_frames"].append(int(getattr(img, "n_frames", 1)))
+                rows["feature_checksum"].append(
+                    int(np.frombuffer(payload, dtype=np.uint8)
+                        .sum(dtype=np.int64))
+                )
+            yield _pd.DataFrame(rows).astype(
+                {
+                    "byte_len": "int32", "width": "int32",
+                    "height": "int32", "n_frames": "int32",
+                    "feature_checksum": "int64",
+                }
+            )
+
+    return pil_decode_batches
+
+
+def make_decoder() -> "callable":
+    """Graceful kernel dispatch: the real PIL decoder where the library
+    exists, the deterministic fake everywhere else (this container has
+    no codec libs by design). Decision happens once at kernel-build
+    time on the driver — executors receive whichever closure was built,
+    never an import race. The registered/oracled ``mm02`` pins the fake
+    kernel regardless, so its recompute oracle stays deterministic.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return make_fake_decoder()
+    return make_pil_decoder()
+
+
+def decode_features(payloads: DataFrame) -> DataFrame:
+    """Production decode path: (doc_id, payload binary) → typed feature
+    frame, real decoder when PIL is importable (``make_decoder``)."""
+    return payloads.mapInPandas(make_decoder(), schema=FAKE_DECODE_SCHEMA)
+
+
 @register("mm02_decode_features", oracle=None)  # arithmetic-on-bytes: not SQL-expressible
 def mm02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over ``mapInPandas`` (Arrow batch path).
