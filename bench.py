@@ -70,6 +70,10 @@ HEADLINE = [
     "ev02_sessionize",
     "dd01_exact_dedup",
     "dd04_minhash_lsh_pairs",
+    # xxhash64 production twin of dd04: no SQL oracle (rows-only), so it
+    # counts toward `value` but stays out of the DuckDB ratio; here to put
+    # a wall-time number on the codegen'd-hash path (expected < dd04)
+    "dd09_minhash_lsh_pairs_xxh",
     "tx02_quality_score",
     "tx11_corpus_filter_pipeline",
     "ev05_funnel_conversion",
