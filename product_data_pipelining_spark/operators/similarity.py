@@ -378,6 +378,13 @@ def sim04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe fan-out replicates, and no crossproduct ever forms. At
     100 TB the cell assignment is precomputed and written
     partitioned-by-cell so probes prune partitions at the scan.
+
+    Measured quality of the tradeoff (pinned by
+    ``tests/test_plans.py::test_ivf_recall_vs_bruteforce_ground_truth``):
+    recall@10 = 0.560 vs sim01's exact top-k at nprobe=2 on sf0.01
+    (~12 cells), scanning ~nprobe/|cells| of the corpus per query; pairs
+    that are emitted carry the exact cosine. Raise NPROBE to trade time
+    for recall.
     """
     v = _with_norm(spark, sf_dir)
     cents = (

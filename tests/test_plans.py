@@ -458,6 +458,29 @@ def test_xxhash_lsh_pairs_subset_of_exact_jaccard(spark, sf_dir):
         assert len(xxh) >= max(1, len(md5) // 2), (len(xxh), len(md5), len(exact))
 
 
+def test_ivf_recall_vs_bruteforce_ground_truth(spark):
+    """Quantify the IVF approximation (VERDICT r4 #8): at nprobe=2 on
+    sf0.01 the recall vs sim01's exact top-k is deterministic — measured
+    0.560 (56/100 pairs) — so the floor is 0.5, and every pair IVF does
+    emit must carry the exact cosine (IVF changes the candidate set,
+    never the scoring)."""
+    sfd = "/root/testdata/sf0.01"
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in QUERIES["sim01_ann_bruteforce_topk"].fn(spark, sfd).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in QUERIES["sim04_ann_ivf"].fn(spark, sfd).collect()
+    }
+    assert exact, "ground truth empty — fixture problem"
+    hits = set(ivf) & set(exact)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.5, f"IVF recall@{len(exact)} = {recall:.3f} < 0.5"
+    for pair in hits:
+        assert ivf[pair] == exact[pair], (pair, ivf[pair], exact[pair])
+
+
 def test_hash_bucket_xxh_stable_and_partition_independent(spark, sf_dir):
     """The xxhash64 split twin: membership is a pure function of the
     key — identical across repartitionings — and buckets are roughly
