@@ -94,6 +94,13 @@ def salted_join(
     adaptively for detected skew, while this operator guarantees it for
     *known* hot keys.
 
+    Measured benefit (pinned by ``tests/test_plans.py::
+    test_salted_join_flattens_hot_key_reducer_load``, 600k rows with one
+    key holding 50%, P=32, n_salts=16): max reducer input drops from
+    309,900 rows (51.7% of the side through one task) to 46,936 — 6.6x
+    flatter, counted under Spark's actual shuffle placement
+    ``pmod(murmur3_hash(keys), P)``.
+
     Only ``inner``, ``left``/``left_outer``, ``left_semi`` and
     ``left_anti`` are supported: each right row exists ``n_salts``
     times, so any join type that emits *unmatched right rows* (right/
