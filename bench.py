@@ -88,7 +88,10 @@ DUCK_REPEATS = 5  # duckdb: median of 5 runs of the oracle SQL
 def _duck_connect() -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TPCH_TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(p):  # generated SF dirs are multi-file parquet
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 
 

@@ -292,8 +292,44 @@ def test_distributed_generator_deterministic_and_shuffle_free(spark):
     assert exchange_count(docs) == 0
     got = docs.collect()
     assert len(got) == 300
-    assert all(20 <= len(r["text"].split()) <= 60 for r in got)
+    # near-dup docs drop one word, so the floor is min_words - 1
+    assert all(19 <= len(r["text"].split()) <= 60 for r in got)
     assert all(r["n_chars"] == len(r["text"]) for r in got)
+
+
+def test_generate_scale_matches_testdata_schemas(spark, tmp_path):
+    """generate_scale writes a complete SF directory whose schemas are
+    byte-identical (names + Spark types) to the driver's testdata after
+    the standard loaders — the guarantee that makes sf1+ probe numbers
+    comparable to the sf0.1 numbers of record."""
+    from product_data_pipelining_spark.io import TPCH_TABLES, load_events
+    from product_data_pipelining_spark.sources.generator import (
+        SF_ROWS,
+        generate_scale,
+    )
+
+    out = str(tmp_path / "sfgen")
+    counts = generate_scale(spark, out, 0.001)
+    assert counts["region"] == 5 and counts["nation"] == 25
+    assert counts["orders"] == int(SF_ROWS["orders"] * 0.001)
+    # lineitem explodes 1..7 lines per order around a 4x mean
+    assert 3 * counts["orders"] <= counts["lineitem"] <= 5 * counts["orders"]
+    for t in TPCH_TABLES:
+        if t == "events":
+            ref, gen = (
+                load_events(spark, "/root/testdata/sf0.001"),
+                load_events(spark, out),
+            )
+        else:
+            ref = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+            gen = spark.read.parquet(f"{out}/{t}.parquet")
+        r = [(f.name, f.dataType.simpleString()) for f in ref.schema.fields]
+        g = [(f.name, f.dataType.simpleString()) for f in gen.schema.fields]
+        assert r == g, (t, r, g)
+    # near-dup seeding: LSH dedup finds work in generated documents
+    from product_data_pipelining_spark.registry import all_queries
+
+    assert all_queries()["dd04_minhash_lsh_pairs"].fn(spark, out).count() > 0
 
 
 def test_schema_evolution_merge_and_projection(spark, tmp_path):
