@@ -354,14 +354,14 @@ document.querySelectorAll('.mk').forEach(el=>{
 """
 
 
-def render_dashboard(m: dict[str, DataFrame], out_path: str) -> str:
-    """Render the five reference charts into one static HTML file.
+def dashboard_html(m: dict[str, DataFrame]) -> str:
+    """Build the five-chart dashboard document as an HTML string.
 
-    ``m`` is ``runner.build_models``/``run_pipeline`` output. Returns
-    ``out_path``. All aggregation happens in Spark (modules
-    ``dashboard``/``marts``); the frames collected here are
-    chart-sized (tens of rows).
-    """
+    ``m`` is ``runner.build_models``/``run_pipeline`` output. All
+    aggregation happens in Spark (modules ``dashboard``/``marts``); the
+    frames collected here are chart-sized (tens of rows). Used by both
+    the static artifact writer (``render_dashboard``) and the live
+    per-request server (``serving_http``)."""
     fact = m["fact_prices"]
 
     # chart 1: price distribution box plot (app.py:84-124), with the
@@ -451,17 +451,23 @@ def render_dashboard(m: dict[str, DataFrame], out_path: str) -> str:
             float(med["median_discount_pct"] or 0.0),
         ),
     ]
-    doc = (
+    return (
         "<!doctype html><html><head><meta charset='utf-8'>"
         "<meta name='viewport' content='width=device-width,initial-scale=1'>"
         "<title>Product pricing dashboard</title>"
         f"<style>{_css()}</style></head><body>"
         "<h1>Product pricing dashboard</h1>"
-        "<p class='meta'>Static render of the reference dashboard's five "
-        "charts (portfolio_app/app.py); every aggregate computed in Spark."
+        "<p class='meta'>The reference dashboard's five charts "
+        "(portfolio_app/app.py); every aggregate computed in Spark."
         "</p><main>" + "".join(cards) + "</main>"
         f"<div id='tip'></div><script>{_TIP_JS}</script></body></html>"
     )
+
+
+def render_dashboard(m: dict[str, DataFrame], out_path: str) -> str:
+    """Write ``dashboard_html(m)`` to ``out_path`` as a static artifact
+    (drop on any object store; no server needed). Returns ``out_path``."""
+    doc = dashboard_html(m)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:
         f.write(doc)

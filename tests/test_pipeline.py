@@ -568,6 +568,47 @@ def test_render_dashboard_static_html(spark, tmp_path):
     assert text.count('class="mk') + text.count("mk\"") > 10
 
 
+def test_http_serving_layer_live_requests(spark):
+    """Interactive serving parity (reference: live Dash app, per-request
+    queries): stdlib HTTP server re-runs the Spark chart plans on every
+    GET — dashboard HTML, JSON chart API, 404 on unknown charts."""
+    import json as _json
+    import urllib.request
+
+    from product_data_pipelining_spark.models.pipeline_queries import (
+        ensure_fixtures,
+    )
+    from product_data_pipelining_spark.models.runner import (
+        build_models,
+        load_raw,
+    )
+    from product_data_pipelining_spark.models.serving_http import (
+        CHART_QUERIES,
+        DashboardServer,
+    )
+
+    m = build_models(load_raw(spark, ensure_fixtures()))
+    with DashboardServer(m) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+        get = lambda p: urllib.request.urlopen(base + p, timeout=120)
+
+        assert get("/healthz").read() == b"ok"
+        html_doc = get("/").read().decode()
+        assert html_doc.count("<svg") == 5 and "Category value map" in html_doc
+        names = _json.loads(get("/api/charts").read())
+        assert names == sorted(CHART_QUERIES)
+        chart = _json.loads(get("/api/chart/discount_depth").read())
+        assert chart["columns"] and chart["rows"] and not chart["truncated"]
+        # a second page load re-executes live (not a cached artifact)
+        assert get("/").read().decode().count("<svg") == 5
+        try:
+            get("/api/chart/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+            assert "charts" in _json.loads(e.read())
+
+
 def test_nice_ticks_fractional_magnitudes():
     """Tick steps for vmax<~4 derive from the first significant digit of
     vmax/n — not the raw fallback (regression: the leading-zero count was
