@@ -46,3 +46,23 @@ def distinct_both(df: DataFrame, keys: Sequence[str], col: str) -> DataFrame:
         F.countDistinct(col).alias("exact_distinct"),
         approx_distinct(col).alias("approx_distinct"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame, cols: Sequence[str], support: float = 0.01
+) -> dict[str, list]:
+    """Single-pass approximate frequent items (heavy hitters) per column.
+
+    Wraps ``DataFrame.freqItems`` (Karp/Shenker/Papadimitriou lossy
+    counting as implemented by Spark): one scan, O(1/support) state per
+    partition, merged map-side — no shuffle of the raw values. Contract
+    (pinned by tests): every value with true frequency > ``support``
+    appears in the result (NO false negatives); false positives are
+    possible and expected — filter against exact counts of just the
+    returned candidates (a tiny second pass) when exactness matters.
+    That candidate-then-verify shape is the 100 TB pattern: the first
+    pass touches everything once, the second only groups by a handful
+    of candidate values.
+    """
+    row = df.freqItems(list(cols), support).collect()[0]
+    return {c: sorted(row[f"{c}_freqItems"]) for c in cols}

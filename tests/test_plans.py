@@ -344,6 +344,73 @@ def test_salted_join_left_outer_parity_and_outer_guard(spark, sf_dir):
             salted_join(c, o, "c_custkey", "o_custkey", how=how)
 
 
+def test_heavy_hitters_no_false_negatives(spark, sf_dir):
+    """freqItems contract: every value whose true frequency exceeds the
+    support threshold MUST be returned (false positives allowed — the
+    candidate-then-verify second pass filters those)."""
+    from product_data_pipelining_spark.functions.approx import heavy_hitters
+
+    li = load_table(spark, sf_dir, "lineitem")
+    support = 0.05
+    got = heavy_hitters(li, ["l_returnflag", "l_linestatus"], support)
+    n = li.count()
+    for col in ("l_returnflag", "l_linestatus"):
+        truth = {
+            r[col]
+            for r in li.groupBy(col).count().collect()
+            if r["count"] > support * n
+        }
+        assert truth <= set(got[col]), (col, truth, got[col])
+
+
+def test_approx_percentile_summary_tracks_exact(spark, sf_dir):
+    """a03x (sketch tier) vs a03 (exact): same group set, distinct
+    within 5%/8, quantiles within 1% of the exact value per group —
+    the documented error contract of the one-pass scale path."""
+    a03 = {
+        (r["returnflag"], r["ship_date"]): r
+        for r in QUERIES["a03_percentile_summary"].fn(spark, sf_dir).collect()
+    }
+    a03x = {
+        (r["returnflag"], r["ship_date"]): r
+        for r in QUERIES["a03x_approx_percentile_summary"].fn(spark, sf_dir).collect()
+    }
+    assert set(a03) == set(a03x)
+    # per-group raw values for the rank-window check (test-scale collect)
+    li = load_table(spark, sf_dir, "lineitem")
+    vals: dict = {}
+    for r in li.select(
+        "l_returnflag",
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias("d"),
+        "l_extendedprice",
+    ).collect():
+        vals.setdefault((r["l_returnflag"], r["d"]), []).append(
+            r["l_extendedprice"]
+        )
+    import math
+
+    for k, e in a03.items():
+        g = a03x[k]
+        assert g["min_price"] == e["min_price"] and g["max_price"] == e["max_price"]
+        assert g["avg_price"] == e["avg_price"]
+        assert abs(g["product_count"] - e["product_count"]) <= max(
+            0.05 * e["product_count"], 8
+        ), k
+        # percentile_approx returns a group ELEMENT whose rank is within
+        # n/accuracy of p*n (exact `percentile` interpolates, so values
+        # differ by design on small groups) — pin the rank contract
+        v = sorted(round(x, 2) for x in vals[k])
+        n = len(v)
+        for p, q in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75")):
+            lo = max(0, math.floor(p * n) - 1)
+            hi = min(n - 1, math.ceil(p * n) + 1)
+            window = v[lo : hi + 1]
+            assert any(abs(g[q] - w) <= 0.01 for w in window), (
+                k, q, g[q], window,
+            )
+        assert g["p25"] <= g["p50"] <= g["p75"], k
+
+
 def test_approx_distinct_within_error_bound(spark, sf_dir):
     from product_data_pipelining_spark.functions.approx import distinct_both
 
