@@ -297,6 +297,43 @@ def test_distributed_generator_deterministic_and_shuffle_free(spark):
     assert all(r["n_chars"] == len(r["text"]) for r in got)
 
 
+def test_new_generators_deterministic_and_shuffle_free(spark):
+    """The round-5 generator tables hold the same invariants as
+    orders/lineitem/documents: identical multisets at any partition
+    count, Range->Project plans with zero exchanges."""
+    from product_data_pipelining_spark.plans.inspect import exchange_count
+    from product_data_pipelining_spark.sources.generator import (
+        generate_customer,
+        generate_embeddings,
+        generate_events,
+        generate_part,
+        generate_supplier,
+    )
+
+    for gen, kwargs in [
+        (generate_customer, {}),
+        (generate_supplier, {}),
+        (generate_part, {}),
+        (generate_events, {"n_users": 50}),
+        (generate_embeddings, {}),
+    ]:
+        a = gen(spark, 400, num_partitions=3, **kwargs)
+        b = gen(spark, 400, num_partitions=7, **kwargs)
+        assert exchange_count(a) == 0, gen.__name__
+        ra = sorted(map(str, a.collect()))
+        rb = sorted(map(str, b.collect()))
+        assert ra == rb and len(ra) == 400, gen.__name__
+
+    ev = generate_events(spark, 400, n_users=50).collect()
+    assert all(0 <= r["user_id"] < 50 for r in ev)
+    assert all(r["ts"].year == 2024 and r["ts"].month == 1 for r in ev)
+    emb = generate_embeddings(spark, 50).collect()
+    assert all(len(r["embedding"]) == 64 for r in emb)
+    assert all(
+        -0.5 <= v <= 0.5 for r in emb for v in r["embedding"]
+    )
+
+
 def test_generate_scale_matches_testdata_schemas(spark, tmp_path):
     """generate_scale writes a complete SF directory whose schemas are
     byte-identical (names + Spark types) to the driver's testdata after
