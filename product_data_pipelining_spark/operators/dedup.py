@@ -36,6 +36,14 @@ from .textops import tokens
 NUM_MINHASH = 8  # k hash functions
 NUM_BANDS = 4  # r = k / bands = 2 rows per band
 JACCARD_THRESHOLD = 0.5
+# Production LSH guards (dd09; the oracle-compat dd04 keeps the uncapped
+# semantics DuckDB reproduces). Measured need: the sf5 probe (250k
+# generated docs, self-similar corpus) produced 1.33M candidate pairs
+# and a 306-doc hot bucket — 22x the sf1 candidates for 5x the docs —
+# and the unconditional broadcast of candidates+shingles OOMed an 8g
+# driver on the cold run.
+LSH_MAX_BUCKET = 128  # cap in-bucket pairing; see minhash_lsh_pairs
+MAX_BROADCAST_CANDIDATES = 200_000  # verify join: broadcast below, shuffle above
 
 # DuckDB-side shingle expression twins (kept adjacent to the Spark defs)
 _SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -287,7 +295,11 @@ def _sql_lsh_pairs() -> str:
 
 
 def minhash_lsh_pairs(
-    spark: SparkSession, sf_dir: str, hash_mode: str = "xxhash64"
+    spark: SparkSession,
+    sf_dir: str,
+    hash_mode: str = "xxhash64",
+    max_bucket: int | None = None,
+    broadcast_limit: int = MAX_BROADCAST_CANDIDATES,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection — the 100 TB dedup path.
 
@@ -311,6 +323,26 @@ def minhash_lsh_pairs(
     The band key combines each band's two min-hashes: ``xxhash64(h_a,
     h_b)`` in production mode (numeric, codegen'd), ``md5(h_a || h_b)``
     in oracle-compat mode (hex, reproducible in DuckDB).
+
+    Scale guards (added after the sf5 probe caught both failure modes on
+    a 250k-doc self-similar corpus — 1.33M candidates, 306-doc hot
+    bucket, broadcast OOM on an 8g driver):
+
+    - ``max_bucket``: skip in-bucket pairing for buckets larger than
+      this (size is counted BEFORE ``collect_list``, so an over-full
+      bucket never materializes its id array or its O(B^2) pair array).
+      An over-full bucket at r=2 is a degenerate band key — nearly all
+      its pairs fail verify — while a true near-dup pair that loses one
+      capped band still has the other ``NUM_BANDS - 1`` bands: recall
+      for j = 0.8 drops only 0.983 -> 0.953. Mass-duplicate clusters
+      (identical docs, which fill ALL their buckets) belong to exact
+      dedup (dd01) upstream, the standard pipeline order. ``None`` = no
+      cap (dd04's oracle-compat semantics).
+    - ``broadcast_limit``: the candidate set is counted (it is
+      persisted for the two verify joins anyway — at corpus scale this
+      is the stage boundary you'd write to parquet); at or below the
+      limit both verify joins broadcast it, above they run as plain
+      shuffle equi-joins and AQE picks the strategy from runtime sizes.
     """
     sh_arr = shingle_arrays(spark, sf_dir).persist()
     sig = signature_from_shingles(sh_arr, hash_mode)
@@ -331,6 +363,19 @@ def minhash_lsh_pairs(
     bands = sig.select(
         "doc_id", F.posexplode(band_cols).alias("b", "band_key")
     )
+    if max_bucket is not None:
+        # pre-count bucket sizes and drop oversized keys BEFORE the
+        # collect_list, so a degenerate bucket never builds its array;
+        # the count groupBy and the join share the (b, band_key) hash
+        # partitioning with the collect_list groupBy — one extra
+        # aggregation pass, no extra shuffle of `bands`
+        ok = (
+            bands.groupBy("b", "band_key")
+            .count()
+            .filter((F.col("count") > 1) & (F.col("count") <= max_bucket))
+            .select("b", "band_key")
+        )
+        bands = bands.join(ok, ["b", "band_key"])
     buckets = (
         bands.groupBy("b", "band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -349,17 +394,23 @@ def minhash_lsh_pairs(
         buckets.select(F.explode(in_bucket_pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
+        .persist()
     )
-    # The candidate set is tiny relative to the corpus (LSH prunes ~all
-    # pairs), so BOTH verify joins broadcast the candidate side — the
-    # shingle-array table streams through twice without ever shuffling.
-    # The first join's output (candidates + side-A arrays) is still
-    # bucket-pair sized, so it broadcasts into the second join too.
+    # Adaptive verify: on a well-behaved corpus the candidate set is
+    # tiny (LSH prunes ~all pairs) and BOTH verify joins broadcast it —
+    # the shingle-array table streams through twice without shuffling.
+    # On a self-similar corpus candidates can explode quadratically
+    # (sf5 probe: 1.33M), so above `broadcast_limit` the joins stay
+    # plain shuffle equi-joins and AQE chooses from runtime sizes. The
+    # count materializes `cand` once, exactly where a multi-job
+    # pipeline would persist the candidate stage anyway.
+    small = cand.limit(broadcast_limit + 1).count() <= broadcast_limit
+    hint = F.broadcast if small else (lambda df: df)
     a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
-    ab = a.join(F.broadcast(cand), "doc_a")
+    ab = a.join(hint(cand), "doc_a")
     verified = (
-        b.join(F.broadcast(ab), "doc_b")
+        b.join(hint(ab), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -385,12 +436,16 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dd09_minhash_lsh_pairs_xxh")
 def dd09_minhash_lsh_pairs_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-mode LSH pairs (seeded ``xxhash64``, numeric band
-    keys) — no hex materialization, all hashing codegen'd. No SQL
-    oracle: DuckDB cannot compute xxhash64, and the candidate set is
-    hash-dependent; correctness is covered by the pytest property that
-    every emitted pair is in the exact n-gram-Jaccard answer (dd02)
-    with the same jaccard value."""
-    return minhash_lsh_pairs(spark, sf_dir, hash_mode="xxhash64")
+    keys) — no hex materialization, all hashing codegen'd, degenerate
+    buckets capped at ``LSH_MAX_BUCKET`` (see ``minhash_lsh_pairs`` for
+    the measured sf5 rationale and recall math). No SQL oracle: DuckDB
+    cannot compute xxhash64, and the candidate set is hash-dependent;
+    correctness is covered by the pytest property that every emitted
+    pair is in the exact n-gram-Jaccard answer (dd02) with the same
+    jaccard value."""
+    return minhash_lsh_pairs(
+        spark, sf_dir, hash_mode="xxhash64", max_bucket=LSH_MAX_BUCKET
+    )
 
 
 def _sql_simhash() -> str:

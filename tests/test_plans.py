@@ -600,6 +600,63 @@ def test_ivf_recall_vs_bruteforce_ground_truth(spark):
         assert ivf[pair] == exact[pair], (pair, ivf[pair], exact[pair])
 
 
+def test_lsh_shuffle_verify_path_matches_broadcast(spark, sf_dir):
+    """The adaptive verify join (added after the sf5 probe's broadcast
+    OOM) must be a physical-only choice: forcing the shuffle path
+    (broadcast_limit=0) returns exactly the broadcast path's pairs."""
+    from product_data_pipelining_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    rows = lambda df: sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()
+    )
+    bc = rows(minhash_lsh_pairs(spark, sf_dir, hash_mode="md5"))
+    sh = rows(
+        minhash_lsh_pairs(spark, sf_dir, hash_mode="md5", broadcast_limit=0)
+    )
+    assert bc == sh and len(bc) > 0
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets_keeps_neardups(spark):
+    """max_bucket semantics on a crafted corpus: a 200-copy identical
+    cluster (fills ALL its buckets past the cap — exact-dedup's job
+    upstream) contributes no pairs, while ordinary near-dup pairs in
+    small buckets survive with identical jaccard values."""
+    from product_data_pipelining_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    base = ("spark filter merge window stream batch table column row "
+            "query join order group hash scan sort value data key line")
+    near = base + " extra"
+    mega = "big small fast slow the a vector customer part table " * 3
+    docs = (
+        [(0, base), (1, near)]
+        + [(100 + i, f"{mega} tail{i % 2}") for i in range(4)]  # small variety
+        + [(1000 + i, mega) for i in range(200)]  # identical mega-cluster
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.write.mode("overwrite").parquet("/tmp/lsh_cap_fixture/documents.parquet")
+    sfd = "/tmp/lsh_cap_fixture"
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(spark, sfd).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(spark, sfd, max_bucket=64).collect()
+    }
+    assert (0, 1) in uncapped and (0, 1) in capped  # real near-dup survives
+    mega_pairs_capped = {p for p in capped if p[0] >= 1000 and p[1] >= 1000}
+    mega_pairs_uncapped = {
+        p for p in uncapped if p[0] >= 1000 and p[1] >= 1000
+    }
+    assert len(mega_pairs_uncapped) == 200 * 199 // 2  # quadratic blowup...
+    assert mega_pairs_capped == set()  # ...suppressed by the cap
+
+
 def test_hash_bucket_xxh_stable_and_partition_independent(spark, sf_dir):
     """The xxhash64 split twin: membership is a pure function of the
     key — identical across repartitionings — and buckets are roughly
