@@ -116,6 +116,38 @@ def _cached(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> DataF
     return df
 
 
+def broadcast_if_small(df: DataFrame, *base: DataFrame) -> DataFrame:
+    """Size-aware broadcast hint for DERIVED relations.
+
+    Catalyst broadcasts base parquet relations from file-level stats
+    automatically, but a join/projection OUTPUT gets a multiplied size
+    estimate that overshoots the threshold even when the true size is
+    tiny — while a hard ``F.broadcast`` hint overrides sizes entirely
+    and OOMs/regresses when the data grows (the sf5 probe measured q5's
+    hinted 750k-row customer broadcast at ~10x the sf1 wall-time).
+    Middle path: hint ``df`` only when the *base* relations it derives
+    from (whose stats ARE file-accurate) sum under the session's
+    ``autoBroadcastJoinThreshold``; otherwise return it unhinted and
+    let the planner (or AQE at runtime) choose from real sizes.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    digits = _re.sub(r"[^0-9-]", "", raw) or "10485760"
+    threshold = int(digits)
+    if threshold < 0:  # broadcast disabled session-wide
+        return df
+    total = 0
+    for rel in base:
+        total += int(
+            str(rel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    return F.broadcast(df) if total <= threshold else df
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, heal: bool = False
 ) -> DataFrame:

@@ -872,10 +872,15 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 5-table star join rolled up to region/nation.
 
-    Region, nation, customer broadcast; orders⋈lineitem is the one real
-    shuffle (both sides large at scale) — co-partitioning/bucketing on
+    Region and nation always broadcast; the customer enrichment
+    broadcasts only while the customer table fits the session threshold
+    (``io.broadcast_if_small`` — at sf5 and beyond it becomes a second
+    shuffle join, which is the correct 100 TB shape). orders⋈lineitem
+    is the one unavoidable shuffle — co-partitioning/bucketing on
     orderkey is the 100 TB optimization, and AQE handles orderkey skew.
     """
+    from ..io import broadcast_if_small
+
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -888,7 +893,13 @@ def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(enriched_cust), o.o_custkey == F.col("c_custkey"))
+        # size-aware: broadcast the customer enrichment only while the
+        # customer base table fits the threshold (sf5 probe: the hard
+        # hint built a 750k-row driver HashedRelation per run)
+        .join(
+            broadcast_if_small(enriched_cust, c),
+            o.o_custkey == F.col("c_custkey"),
+        )
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             det_sum(

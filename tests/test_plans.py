@@ -40,6 +40,23 @@ def test_tpch_q5_fact_side_never_shuffles_before_agg(spark, sf_dir):
     assert set(kinds) == {"BroadcastHashJoin"}, kinds
 
 
+def test_broadcast_if_small_is_size_aware(spark, sf_dir):
+    """q5's customer enrichment: broadcast while the base customer table
+    fits the threshold (sf0.1), shuffle when it does not (threshold
+    forced below its size) — the hard hint the sf5 probe caught would
+    broadcast 750k rows unconditionally."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        df = QUERIES["tpch_q5_regional_revenue"].fn(spark, sf_dir)
+        kinds = join_kinds(df)
+        assert "SortMergeJoin" in kinds or "ShuffledHashJoin" in kinds, kinds
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    df = QUERIES["tpch_q5_regional_revenue"].fn(spark, sf_dir)
+    assert set(join_kinds(df)) == {"BroadcastHashJoin"}
+
+
 def test_staging_filter_pushes_to_scan(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     df = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
