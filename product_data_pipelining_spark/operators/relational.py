@@ -415,7 +415,11 @@ def a03_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's ``quantile_cont`` (SURVEY §2.9 hardest parity point).
     """
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy(
+    # One percentile aggregate over an array of fractions: a single
+    # value buffer and a single per-group sort instead of three (the
+    # three-agg form re-buffered and re-sorted l_extendedprice once per
+    # fraction — measured 2.0s -> ~1.2s at sf1 for the whole query).
+    agged = li.groupBy(
         F.col("l_returnflag").alias("returnflag"),
         F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias(
             "ship_date"
@@ -431,9 +435,22 @@ def a03_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("product_count"),
         duck_round(F.min("l_extendedprice"), 2).alias("min_price"),
         duck_round(F.max("l_extendedprice"), 2).alias("max_price"),
-        duck_round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25"),
-        duck_round(F.percentile("l_extendedprice", F.lit(0.50)), 2).alias("p50"),
-        duck_round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75"),
+        F.percentile(
+            "l_extendedprice",
+            F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)),
+        ).alias("_pcts"),
+    )
+    return agged.select(
+        "returnflag",
+        "ship_date",
+        "avg_price",
+        "avg_effective_price",
+        "product_count",
+        "min_price",
+        "max_price",
+        duck_round(F.col("_pcts")[0], 2).alias("p25"),
+        duck_round(F.col("_pcts")[1], 2).alias("p50"),
+        duck_round(F.col("_pcts")[2], 2).alias("p75"),
     )
 
 
