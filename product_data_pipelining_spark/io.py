@@ -282,6 +282,110 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def table_file_stats(spark: SparkSession, path: str) -> dict:
+    """File-level layout stats for a parquet table directory.
+
+    Lists data files recursively through the Hadoop FileSystem API (the
+    same listing the scan planner does), skipping commit markers. The
+    numbers that matter for a 100 TB table's health: ``n_files`` (driver
+    listing + task-scheduling overhead scales with it), ``total_bytes``,
+    and ``max_file_bytes``/``min_file_bytes`` spread (skewed splits).
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    sizes = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        sizes.append(st.getLen())
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "max_file_bytes": max(sizes) if sizes else 0,
+        "min_file_bytes": min(sizes) if sizes else 0,
+    }
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by: tuple[str, ...] = (),
+    sort_by: tuple[str, ...] = (),
+) -> dict:
+    """Rewrite a fragmented parquet table into target-sized files.
+
+    The maintenance half of the 100 TB story: streaming micro-batches,
+    per-task writers, and fine-grained upserts all leave tables as
+    thousands of KB-scale files, and from then on every scan pays a
+    per-file open/footer-read plus a driver listing proportional to file
+    count. This job reads the table once, repartitions to
+    ``ceil(total_bytes / target)`` output slices, optionally re-sorts
+    within files (restoring min/max zone-map locality that incremental
+    appends destroy), and swaps the rewrite into place with the same
+    crash-safe stage-and-swap protocol as the parquet upsert target
+    (`operators/upsert.py` — orphaned stages are promoted by the next
+    reader).
+
+    Partitioned tables keep their directory layout: rows shuffle on the
+    partition columns (plus a deterministic salt when a single partition
+    value exceeds the target size) so each output task writes exactly
+    one file into one partition directory — a global round-robin
+    repartition would have every task append to every partition and
+    re-fragment the table.
+
+    Returns {"before": stats, "after": stats, "n_output_slices": n}.
+    """
+    before = table_file_stats(spark, path)
+    target_bytes = target_file_mb * 1024 * 1024
+    n_out = max(1, -(-before["total_bytes"] // target_bytes))
+
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    if partition_by:
+        # salt only when an average partition outgrows the target file
+        n_parts = df.select(*partition_by).distinct().count()
+        per_part = before["total_bytes"] / max(n_parts, 1)
+        k = max(1, int(-(-per_part // target_bytes)))
+        if k > 1:
+            data_cols = [c for c in df.columns if c not in partition_by]
+            salt = F.pmod(F.xxhash64(*data_cols), F.lit(k))
+            df = df.repartition(n_parts * k, *partition_by, salt)
+        else:
+            df = df.repartition(*partition_by)
+        n_out = n_parts * k
+    else:
+        df = df.repartition(n_out)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    stage_path = path + "_next"
+    hstage = jvm.org.apache.hadoop.fs.Path(stage_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage_path)
+    fs.delete(hpath, True)
+    if not fs.rename(hstage, hpath):
+        raise IOError(
+            f"compact: rename {stage_path} -> {path} failed; "
+            "stage dir preserved"
+        )
+    return {
+        "before": before,
+        "after": table_file_stats(spark, path),
+        "n_output_slices": n_out,
+    }
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` works over it.
 

@@ -130,6 +130,61 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
     assert df.count() == want
 
 
+def test_compact_table_defragments_and_preserves_content(spark, sf_dir, tmp_path):
+    """compact_table collapses a fragmented table to sized files with
+    byte-identical content (stage-and-swap rewrite)."""
+    from product_data_pipelining_spark.io import compact_table, table_file_stats
+
+    path = str(tmp_path / "frag_lineitem")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.repartition(64).write.parquet(path)  # micro-batch-style fragmentation
+    before = table_file_stats(spark, path)
+    assert before["n_files"] >= 60
+
+    checksum_before = (
+        spark.read.parquet(path)
+        .select(F.sum(F.xxhash64(*li.columns)).alias("s"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    out = compact_table(spark, path, target_file_mb=128)
+    assert out["after"]["n_files"] == 1  # sf0.001 lineitem << 128 MB
+    assert out["after"]["total_bytes"] > 0
+    checksum_after = (
+        spark.read.parquet(path)
+        .select(F.sum(F.xxhash64(*li.columns)).alias("s"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    assert (checksum_before["s"], checksum_before["n"]) == (
+        checksum_after["s"],
+        checksum_after["n"],
+    )
+
+
+def test_compact_partitioned_table_keeps_layout_and_pruning(spark, sf_dir, tmp_path):
+    """Partitioned compaction merges files WITHIN each partition dir and
+    the compacted table still partition-prunes."""
+    from product_data_pipelining_spark.io import (
+        compact_table,
+        load_events,
+        table_file_stats,
+    )
+
+    path = str(tmp_path / "frag_events")
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    ev.repartition(16).write.partitionBy("event_type").parquet(path)
+    before = table_file_stats(spark, path)
+
+    out = compact_table(spark, path, target_file_mb=64, partition_by=("event_type",))
+    n_types = ev.select("event_type").distinct().count()
+    assert out["after"]["n_files"] == n_types  # one sized file per partition
+    assert out["after"]["n_files"] < before["n_files"]
+
+    df = spark.read.parquet(path).filter(F.col("event_type") == "view")
+    (scan,) = scans(df)
+    assert "event_type" in scan["partition_filters"], scan
+    assert df.count() == ev.filter(F.col("event_type") == "view").count()
+
+
 def test_q8_all_dimension_joins_broadcast(spark, sf_dir):
     """Eight-way market-share join: lineitem must be the only shuffled
     relation — every dimension side broadcasts."""
