@@ -66,6 +66,31 @@ def duck_percentile_dec(col: Column | str, q: float, scale: int = 2) -> Column:
     ).cast("decimal(10,2)")
 
 
+def duck_percentiles_dec(
+    col: Column | str, qs: tuple[float, ...], scale: int = 2
+) -> Column:
+    """Array form of :func:`duck_percentile_dec` — ONE value buffer.
+
+    N separate exact-percentile aggregates each hold (and sort) their
+    own copy of every group value; ``percentile(col, array(qs))``
+    buffers and sorts once for all fractions — the shape that matters
+    when groups hold millions of rows. Returns the interpolated array
+    (still scaled doubles); unscale each element with
+    :func:`unscale_dec` after the aggregate.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scaled = (c * F.lit(10**scale)).cast("double")
+    return F.percentile(scaled, F.array(*[F.lit(q) for q in qs]))
+
+
+def unscale_dec(interp: Column, scale: int = 2) -> Column:
+    """DuckDB DECIMAL typing for one element of `duck_percentiles_dec`."""
+    s = 10**scale
+    return (F.floor(interp).cast("decimal(28,0)") / F.lit(s)).cast(
+        f"decimal({10 + scale},{scale})"
+    ).cast("decimal(10,2)")
+
+
 def dim_locations(stg_locations: DataFrame) -> DataFrame:
     """Location dimension: drop ``address_line1``/``fetched_at`` (P9).
 
@@ -212,7 +237,7 @@ def mart_price_by_category(fact_prices: DataFrame) -> DataFrame:
     with DuckDB's DECIMAL output typing, never ``percentile_approx``.
     NULL ``effective_date`` forms its own group, as in SQL GROUP BY.
     """
-    return (
+    agged = (
         fact_prices.filter(
             F.col("category").isNotNull() & (F.col("regular_price") > 0)
         )
@@ -231,8 +256,15 @@ def mart_price_by_category(fact_prices: DataFrame) -> DataFrame:
             F.countDistinct("product_id").alias("product_count"),
             F.min("regular_price").alias("min_price"),
             F.max("regular_price").alias("max_price"),
-            duck_percentile_dec("regular_price", 0.25).alias("q1_price"),
-            duck_percentile_dec("regular_price", 0.50).alias("median_price"),
-            duck_percentile_dec("regular_price", 0.75).alias("q3_price"),
+            # one shared buffer + sort for all three quartiles
+            duck_percentiles_dec("regular_price", (0.25, 0.50, 0.75)).alias(
+                "_pcts"
+            ),
         )
+    )
+    return agged.select(
+        *[c for c in agged.columns if c != "_pcts"],
+        unscale_dec(F.col("_pcts")[0]).alias("q1_price"),
+        unscale_dec(F.col("_pcts")[1]).alias("median_price"),
+        unscale_dec(F.col("_pcts")[2]).alias("q3_price"),
     )

@@ -1119,35 +1119,39 @@ def chk01_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ev05_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analytics: signup → purchase-within-7-days, by segment.
 
-    Event-sequence matching as pure relational algebra: first-touch per
-    user (min-agg), a user-keyed join against the candidate next step
-    with the time bound as a join-time predicate, then a flag max —
-    both heavy stages shuffle on ``user_id`` only, so the second
-    aggregation reuses the first's partitioning and the raw event
-    payload never travels. The segment dimension broadcasts; the final
-    rollup is segment-cardinality. The conversion ratio divides two
-    exact longs — one double op, identical in both engines.
+    Event-sequence matching in ONE user-keyed exchange: signup and
+    purchase events shuffle together once, a whole-partition window min
+    stamps every row with the user's first signup (first-touch), and
+    the flag max reuses the window's partitioning — no second shuffle
+    and no sort-merge join (the agg+join form exchanged AND sorted two
+    relations on ``user_id``; the raw event payload never travels in
+    either form). Users whose window min is NULL never signed up and
+    drop before the aggregate. The segment dimension broadcasts; the
+    final rollup is segment-cardinality. The conversion ratio divides
+    two exact longs — one double op, identical in both engines.
     """
     ev = _t(spark, sf_dir, "events")
-    s = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
+    base = ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id", "event_type", "ts"
     )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("p_ts")
+    w = Window.partitionBy("user_id")
+    stamped = base.withColumn(
+        "signup_ts",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
     )
-    in_window = (F.col("p_ts") >= F.col("signup_ts")) & (
-        F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAY")
+    in_window = (
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.col("signup_ts"))
+        & (F.col("ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAY"))
     )
     conv = (
-        s.join(p, "user_id", "left")
-        .select(
-            "user_id",
-            F.when(in_window, F.lit(1)).otherwise(F.lit(0)).alias("flag"),
-        )
+        stamped.filter(F.col("signup_ts").isNotNull())
         .groupBy("user_id")
-        .agg(F.max("flag").alias("converted"))
+        .agg(
+            F.max(
+                F.when(in_window, F.lit(1)).otherwise(F.lit(0))
+            ).alias("converted")
+        )
     )
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),

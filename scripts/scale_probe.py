@@ -1,20 +1,21 @@
 #!/usr/bin/env python3
-"""Scale probe: measure how the headline set scales from sf0.1 to sf1.
+"""Scale probe: measure how the headline set scales from sf0.1 upward.
 
-Generates a complete sf1 directory with the deterministic distributed
+Generates a complete scaled directory with the deterministic distributed
 generator (``sources/generator.py`` — schema-identical to the driver's
 testdata, verified by ``test_generate_scale_matches_testdata_schemas``),
-then runs ``bench.py`` back-to-back at sf1 and sf0.1 under identical
-machine conditions and records per-query scaling factors.
+then runs ``bench.py`` back-to-back at the target SF and at sf0.1 under
+identical machine conditions and records per-query scaling factors.
 
-Usage:  python scripts/scale_probe.py [--sf1-dir /tmp/sf1] [--regen]
-Writes: BENCH_SF1.json at the repo root.
+Usage:  python scripts/scale_probe.py [--sf 1] [--dir /tmp/sfN] [--regen]
+Writes: BENCH_SF{N}.json at the repo root (e.g. BENCH_SF1.json,
+BENCH_SF5.json).
 
-Reading the artifact: data grows 10x between the runs, so a query at or
-under ~10x wall-time scaling is linear-or-better; sort-based operators
-(exact percentile) legitimately run at ~n log n, i.e. ~12x. Each run
+Reading the artifact: data grows (sf/0.1)x between the runs, so a query
+at or under that factor in wall-time is linear-or-better; sort-based
+operators (exact percentile) legitimately run at ~n log n. Each run
 also carries its own in-process interleaved DuckDB baseline, so
-``ratio_vs_duckdb`` stays contention-robust at both scale factors.
+``ratio_vs_duckdb`` stays contention-robust at every scale factor.
 """
 
 from __future__ import annotations
@@ -41,45 +42,56 @@ def run_bench(sf_dir: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf1-dir", default="/tmp/sf1")
+    ap.add_argument("--sf", type=float, default=1.0,
+                    help="target scale factor (sf0.1 is the baseline side)")
+    ap.add_argument("--dir", default=None,
+                    help="directory for the generated data "
+                         "(default /tmp/sf{N})")
     ap.add_argument("--regen", action="store_true",
-                    help="regenerate sf1 even if the directory exists")
+                    help="regenerate the scaled data even if the "
+                         "directory exists")
     args = ap.parse_args()
 
-    if args.regen or not os.path.isdir(args.sf1_dir):
+    sf_label = f"{args.sf:g}".replace(".", "_")
+    big_dir = args.dir or f"/tmp/sf{sf_label}"
+
+    if args.regen or not os.path.isdir(big_dir):
         subprocess.run(
             [sys.executable, "-m",
              "product_data_pipelining_spark.sources.generator",
-             "--sf", "1", "--out", args.sf1_dir],
+             "--sf", f"{args.sf:g}", "--out", big_dir],
             cwd=REPO, check=True,
         )
 
-    sf1 = run_bench(args.sf1_dir)
+    big = run_bench(big_dir)
     sf01 = run_bench(TESTDATA_SF01)
 
+    factor = args.sf / 0.1
     scaling = {
-        q: round(sf1["queries"][q] / sf01["queries"][q], 2)
-        for q in sf1["queries"]
+        q: round(big["queries"][q] / sf01["queries"][q], 2)
+        for q in big["queries"]
         if sf01.get("queries", {}).get(q)
     }
     artifact = {
-        "metric": "sf1_scale_probe",
-        "data_scale_factor": 10.0,
-        "sf1": sf1,
+        "metric": f"sf{sf_label}_scale_probe",
+        "data_scale_factor": round(factor, 2),
+        f"sf{sf_label}": big,
         "sf0_1": sf01,
         "per_query_time_scaling": scaling,
         "worst_scaling": max(scaling.values()),
         "notes": (
-            "Back-to-back runs on the same machine; each bench carries its "
-            "own interleaved in-process DuckDB baseline, so judge "
+            "Back-to-back runs on the same machine; each bench carries "
+            "its own interleaved in-process DuckDB baseline, so judge "
             "ratio_vs_duckdb per SF, not absolute seconds. Scaling at or "
-            "under ~10x is linear-or-better for 10x data; exact-percentile "
-            "a03 runs at ~n log n (~12x) by design."
+            f"under ~{factor:g}x is linear-or-better for {factor:g}x "
+            "data; exact-percentile a03 runs at ~n log n by design."
         ),
     }
-    (REPO / "BENCH_SF1.json").write_text(json.dumps(artifact, indent=2) + "\n")
-    print(json.dumps({"worst_scaling": artifact["worst_scaling"],
-                      "sf1_ratio_vs_duckdb": sf1["ratio_vs_duckdb"],
+    out_path = REPO / f"BENCH_SF{sf_label}.json"
+    out_path.write_text(json.dumps(artifact, indent=2) + "\n")
+    print(json.dumps({"artifact": out_path.name,
+                      "worst_scaling": artifact["worst_scaling"],
+                      "big_ratio_vs_duckdb": big["ratio_vs_duckdb"],
                       "sf0_1_ratio_vs_duckdb": sf01["ratio_vs_duckdb"]}))
 
 
