@@ -254,6 +254,71 @@ def read_format(spark: SparkSession, path: str, fmt: str, schema) -> DataFrame:
     return r.format(fmt).load(path)
 
 
+# widenings that lose nothing; anything else must be migrated explicitly
+_SAFE_WIDENINGS = {
+    ("integer", "long"), ("short", "integer"), ("short", "long"),
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("float", "double"), ("integer", "double"), ("long", "double"),
+    ("date", "timestamp"), ("date", "timestamp_ntz"),
+}
+
+
+def read_with_evolution(
+    spark: SparkSession,
+    path: str,
+    target_schema,
+    renames: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """Read parquet written under OLDER schema versions into the current
+    contract — the read-side half of schema evolution.
+
+    A 100 TB table accretes years of files; rewriting them on every
+    contract change is a full-table IO bill, so evolution happens at
+    scan time instead:
+
+    - columns added since a file was written → typed NULLs,
+    - columns dropped from the contract → pruned (never scanned),
+    - ``renames`` maps old physical names to current ones,
+    - type changes are applied ONLY when lossless (int→long,
+      float→double, date→timestamp, ...); a narrowing raises here, at
+      plan time, instead of silently truncating rows somewhere on an
+      executor.
+
+    Files written under different schemas are unioned by Spark's
+    parquet reader with ``mergeSchema`` (footer-level reconciliation),
+    then projected onto ``target_schema`` column-for-column, so the
+    result is indistinguishable from a table written natively under the
+    current contract.
+    """
+    from pyspark.sql import functions as F
+
+    renames = renames or {}
+    raw = spark.read.option("mergeSchema", "true").parquet(path)
+    have = {f.name: f.dataType for f in raw.schema.fields}
+    cols = []
+    for field in target_schema.fields:
+        src = renames.get(field.name, field.name)
+        if src not in have:
+            cols.append(
+                F.lit(None).cast(field.dataType).alias(field.name)
+            )
+            continue
+        cur = have[src]
+        if cur == field.dataType:
+            cols.append(F.col(src).alias(field.name))
+            continue
+        pair = (cur.typeName(), field.dataType.typeName())
+        if pair in _SAFE_WIDENINGS:
+            cols.append(F.col(src).cast(field.dataType).alias(field.name))
+            continue
+        raise TypeError(
+            f"schema evolution: column {src!r} is {cur.simpleString()} on "
+            f"disk but {field.dataType.simpleString()} in the target — "
+            "not a lossless widening; migrate the files explicitly"
+        )
+    return raw.select(*cols)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -294,12 +359,16 @@ def table_file_stats(spark: SparkSession, path: str) -> dict:
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    root = hpath.toUri().getPath()
     sizes = []
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith(("_", ".")):
+        # skip commit markers AND anything under a hidden dir (e.g. the
+        # files inside a streaming sink's _spark_metadata log, whose own
+        # names carry no underscore)
+        rel = st.getPath().toUri().getPath()[len(root):].lstrip("/")
+        if any(part.startswith(("_", ".")) for part in rel.split("/")):
             continue
         sizes.append(st.getLen())
     return {
@@ -337,6 +406,12 @@ def compact_table(
     one file into one partition directory — a global round-robin
     repartition would have every task append to every partition and
     re-fragment the table.
+
+    Compacting a structured-streaming sink directory is supported: the
+    read honors the sink's ``_spark_metadata`` commit log (so uncommitted
+    task files are excluded) and the swap retires that log — after
+    compaction the directory is a plain batch table, so stop the writing
+    query first.
 
     Returns {"before": stats, "after": stats, "n_output_slices": n}.
     """

@@ -40,6 +40,68 @@ def run_bench(sf_dir: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+# value-compare is driver-bounded (both result sets come to pandas);
+# headline outputs are aggregate-sized except sessionize, which grows
+# with users — above this cap record a distributed row-count check only
+MAX_COMPARE_ROWS = 2_000_000
+
+
+def run_correctness(sf_dir: str) -> dict:
+    """Value-level oracle parity for the headline set AT the probe SF.
+
+    The driver verifies correctness at sf0.01; this re-runs the same
+    contract (shared ``checks.oracle_compare`` normalization — sorted
+    columns, canonical cells, sorted rows) against DuckDB on the
+    generated data, so the artifact carries "still CORRECT at 10-50x",
+    not just "still fast". In-process, after the benches, so timing is
+    unaffected.
+    """
+    sys.path.insert(0, str(REPO))
+    import duckdb
+
+    from bench import HEADLINE
+    from product_data_pipelining_spark.checks.oracle_compare import (
+        duck_view_sql,
+        frames_match,
+    )
+    from product_data_pipelining_spark.io import TPCH_TABLES
+    from product_data_pipelining_spark.registry import all_queries
+    from product_data_pipelining_spark.session import get_spark
+
+    specs = all_queries()
+    spark = get_spark(app_name="pdp-scale-check", cpus=int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")
+    ))
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(duck_view_sql(sf_dir, t))
+
+    results: dict[str, str] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        df = spec.fn(spark, sf_dir)
+        if spec.oracle is None:
+            results[name] = f"rows_only:{df.count()}"
+            continue
+        n = df.count()
+        want_n = con.execute(
+            f"SELECT COUNT(*) FROM ({spec.oracle})"
+        ).fetchone()[0]
+        if n > MAX_COMPARE_ROWS:
+            results[name] = (
+                f"rowcount_only:{n}" if n == want_n
+                else f"ROWCOUNT_MISMATCH:{n}!={want_n}"
+            )
+            continue
+        if n != want_n:
+            results[name] = f"ROWCOUNT_MISMATCH:{n}!={want_n}"
+            continue
+        ok, reason = frames_match(df.toPandas(), con.execute(spec.oracle).df())
+        results[name] = "match" if ok else f"MISMATCH:{reason}"
+    con.close()
+    return results
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0,
@@ -50,6 +112,8 @@ def main() -> None:
     ap.add_argument("--regen", action="store_true",
                     help="regenerate the scaled data even if the "
                          "directory exists")
+    ap.add_argument("--no-check", action="store_true",
+                    help="skip the at-scale value-level oracle check")
     args = ap.parse_args()
 
     sf_label = f"{args.sf:g}".replace(".", "_")
@@ -87,12 +151,22 @@ def main() -> None:
             "data; exact-percentile a03 runs at ~n log n by design."
         ),
     }
+    if not args.no_check:
+        artifact["correctness_at_scale"] = run_correctness(big_dir)
+
     out_path = REPO / f"BENCH_SF{sf_label}.json"
     out_path.write_text(json.dumps(artifact, indent=2) + "\n")
-    print(json.dumps({"artifact": out_path.name,
-                      "worst_scaling": artifact["worst_scaling"],
-                      "big_ratio_vs_duckdb": big["ratio_vs_duckdb"],
-                      "sf0_1_ratio_vs_duckdb": sf01["ratio_vs_duckdb"]}))
+    summary = {"artifact": out_path.name,
+               "worst_scaling": artifact["worst_scaling"],
+               "big_ratio_vs_duckdb": big["ratio_vs_duckdb"],
+               "sf0_1_ratio_vs_duckdb": sf01["ratio_vs_duckdb"]}
+    if "correctness_at_scale" in artifact:
+        vals = artifact["correctness_at_scale"].values()
+        summary["correct_at_scale"] = (
+            f"{sum(v == 'match' for v in vals)}/{len(list(vals))} match, "
+            f"{sum('MISMATCH' in v for v in vals)} mismatched"
+        )
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

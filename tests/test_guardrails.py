@@ -1,0 +1,94 @@
+"""Global plan guardrails: scale discipline enforced over EVERY query.
+
+Individual plan tests in test_plans.py pin the headline queries'
+specific shapes; this sweep walks the physical plan of all registered
+queries and fails on the operator classes that do not survive 100 TB:
+
+- ``CartesianProduct`` — an unbounded |L|x|R| blowup, never acceptable.
+- ``BroadcastNestedLoopJoin`` — only tolerable when one side is a
+  deliberately broadcast scalar/constant-sized relation; every such
+  site must be on the documented allowlist below.
+- ``BatchEvalPython`` — row-at-a-time Python UDF: ~10-100x slower than
+  JVM expressions or Arrow batches; the engine bans it outright.
+- Arrow-batched Python (``ArrowEvalPython`` / ``MapInPandas`` /
+  ``FlatMapGroupsInPandas``) — the sanctioned slow path, but only for
+  the query families that declare it (multimodal decode, cogrouped
+  reconciliation); anything else must stay JVM-side.
+
+New queries are covered automatically the moment they are registered —
+a regression that introduces a cartesian join or a Python UDF anywhere
+fails this suite, not just the queries somebody remembered to pin.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from product_data_pipelining_spark.plans.inspect import physical_plan
+from product_data_pipelining_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+# BroadcastNestedLoopJoin sites that are bounded by construction:
+# a one-row aggregate / fixed centroid set replicated to every task.
+BNLJ_ALLOWED = {
+    "tpch_q11_important_stock",        # scalar global-total subquery
+    "tpch_q14_promo_revenue",          # scalar denominator replication
+    "tpch_q17_small_quantity_revenue", # per-brand avg threshold (broadcast)
+    "tpch_q22_idle_rich_customers",    # scalar avg-balance subquery
+    "pr04_winsorize",                  # broadcast global percentile bounds
+    "sim04_ann_ivf",                   # fixed centroid-set replication
+    "chk02_outlier_zscore",            # 3-row broadcast moment re-scan
+    # documented quadratic BASELINES: the oracle-exact reference twins of
+    # the bucketed scale paths (sim02/dd04 cover the 100 TB shape); both
+    # broadcast a vocabulary-/corpus-bounded relation, never a fact table
+    "sim03_embedding_neardup_pairs",   # exact all-pairs cosine baseline
+    "tx06_fuzzy_name_pairs",           # distinct-name levenshtein pairs
+    "tx10_tfidf_topterms",             # broadcast doc-frequency join
+}
+
+# Queries whose CONTRACT is Arrow-batched Python (binary payload decode,
+# cogrouped custom logic, partition-local BLAS). Everything else must
+# plan pure JVM.
+ARROW_ALLOWED = {
+    "mm02_decode_features",
+    "mm03_frame_sample",
+    "cg01_cogroup_reconcile",
+    "sim01_ann_bruteforce_topk",  # partition-local numpy top-k (mapInPandas)
+}
+
+ARROW_NODES = re.compile(
+    r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas"
+)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_plan_guardrails(name, spark, sf_dir):
+    plan = physical_plan(QUERIES[name].fn(spark, sf_dir))
+
+    assert "CartesianProduct" not in plan, (
+        f"{name}: CartesianProduct in plan — unbounded at scale"
+    )
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: BroadcastNestedLoopJoin outside the documented "
+            "bounded-replication allowlist"
+        )
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in plan — use JVM exprs or "
+        "Arrow batches"
+    )
+    if name not in ARROW_ALLOWED:
+        assert not ARROW_NODES.search(plan), (
+            f"{name}: Arrow Python node outside the declared multimodal/"
+            "cogroup families"
+        )
+
+
+def test_bnlj_allowlist_entries_still_registered():
+    """The allowlists only shrink: a renamed/removed query must drop its
+    exemption rather than leave a stale hole for a future query name."""
+    assert BNLJ_ALLOWED <= set(QUERIES), BNLJ_ALLOWED - set(QUERIES)
+    assert ARROW_ALLOWED <= set(QUERIES), ARROW_ALLOWED - set(QUERIES)

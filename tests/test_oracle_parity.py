@@ -13,13 +13,15 @@ small one. Setting TEST_SF_DIR collapses the matrix to that single SF.
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
-import pandas as pd
 import pytest
 
+from product_data_pipelining_spark.checks.oracle_compare import (
+    dtype_kinds,
+    normalize,
+)
 from product_data_pipelining_spark.io import TPCH_TABLES
 from product_data_pipelining_spark.registry import all_queries
 
@@ -52,31 +54,9 @@ def par_ddb(par_sf_dir):
     con.close()
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name, canonicalize cell values, sort rows."""
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        df[c] = df[c].map(_canon)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
-
-
-def _canon(v):
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return "<null>"
-    if pd.isna(v):
-        return "<null>"
-    if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return f"{int(v)}"
-        return f"{v:.9g}"
-    if hasattr(v, "isoformat"):  # date/datetime
-        return v.isoformat()
-    return str(v)
-
-
-def _kinds(df: pd.DataFrame) -> list[str]:
-    """dtype kind per column, sorted by column name (i=int, f=float, ...)."""
-    return [df[c].dtype.kind for c in sorted(df.columns)]
+# normalize / _canon / _kinds now live in checks.oracle_compare so the
+# scale probe's at-scale value checks share the exact same contract
+_kinds = dtype_kinds
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)

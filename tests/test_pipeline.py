@@ -684,3 +684,46 @@ def test_redact_pii_on_crafted_text(spark):
     assert got[2] == "clean text with no pii at all"
     # malformed email and short phone untouched; bare IP redacted
     assert got[3] == "edge: not-an-email @ test, 12-34-5678 short, <IP> ip"
+
+
+def test_read_with_evolution_pads_widens_renames(spark, tmp_path):
+    """Old-schema files read into the current contract at scan time:
+    added column -> typed NULLs, int -> long widening, rename mapping."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from product_data_pipelining_spark.io import read_with_evolution
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, label string"
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(3, "c"), (4, "d")], "id int, label string"
+    ).write.mode("append").parquet(path)
+
+    target = StructType([
+        StructField("id", LongType()),        # widened from int
+        StructField("name", StringType()),    # renamed from label
+        StructField("score", DoubleType()),   # added since write
+    ])
+    df = read_with_evolution(spark, path, target, renames={"name": "label"})
+    assert [f.dataType.typeName() for f in df.schema.fields] == [
+        "long", "string", "double"
+    ]
+    rows = {(r["id"], r["name"], r["score"]) for r in df.collect()}
+    assert rows == {(1, "a", None), (2, "b", None), (3, "c", None), (4, "d", None)}
+
+
+def test_read_with_evolution_rejects_narrowing(spark, tmp_path):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from product_data_pipelining_spark.io import read_with_evolution
+
+    path = str(tmp_path / "tbl2")
+    spark.createDataFrame([(10**12,)], "id long").write.parquet(path)
+    with pytest.raises(TypeError, match="not a lossless widening"):
+        read_with_evolution(
+            spark, path, StructType([StructField("id", IntegerType())])
+        )

@@ -393,3 +393,45 @@ def test_parquet_upsert_target_tolerates_nested_map_columns(spark, tmp_path):
     assert _contains_map(StructType([StructField("x", ArrayType(m))]))
     assert not _contains_map(ArrayType(LongType()))
     assert not _contains_map(StructType([StructField("x", StringType())]))
+
+
+def test_streaming_sink_fragmentation_healed_by_compaction(spark, replay_dir, tmp_path):
+    """The full micro-batch lifecycle: a streaming parquet sink lands one
+    file per task per trigger (the 100 TB small-file generator), and
+    io.compact_table restores a sized layout without changing a row."""
+    from product_data_pipelining_spark.io import compact_table, table_file_stats
+
+    out = str(tmp_path / "landed")
+    src = _stream_source(spark, replay_dir).repartition(8)
+    q = (
+        src.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    frag = table_file_stats(spark, out)
+    assert frag["n_files"] >= 8
+
+    before = (
+        spark.read.parquet(out)
+        .select(
+            F.sum(F.xxhash64("user_id", "event_id", "event_type", "ts", "value")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    res = compact_table(spark, out, target_file_mb=128)
+    assert res["after"]["n_files"] == 1
+    after = (
+        spark.read.parquet(out)
+        .select(
+            F.sum(F.xxhash64("user_id", "event_id", "event_type", "ts", "value")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    assert (before["s"], before["n"]) == (after["s"], after["n"])
