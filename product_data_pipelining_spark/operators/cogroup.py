@@ -35,8 +35,22 @@ _OUT_SCHEMA = (
 )
 
 
-def cogroup_reconcile(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
-    """Per-order header-vs-lines reconciliation via cogrouped pandas."""
+def cogroup_reconcile(
+    orders: DataFrame, lineitem: DataFrame, parallelism: int | None = None
+) -> DataFrame:
+    """Per-order header-vs-lines reconciliation via cogrouped pandas.
+
+    Both sides are repartitioned with an EXPLICIT partition count before
+    the cogroup. Without it, AQE sees a few tens of MB of shuffle data
+    and coalesces the exchange to one partition — correct economics for
+    a JVM stage, catastrophic for a Python-UDF stage where cost is
+    per-KEY invocation overhead, not bytes: at sf0.1 the coalesced plan
+    pushed all 150k order keys through a single Python worker serially
+    (~15 min) while 31 cores idled. An explicit count is user-specified
+    repartitioning, which AQE leaves alone, so every core keeps a
+    worker fed. The general rule this encodes: size Python stages by
+    keys-per-task, never by shuffle bytes.
+    """
 
     def reconcile(left, right):  # noqa: ANN001 — pandas-in, pandas-out
         import numpy as np
@@ -83,13 +97,16 @@ def cogroup_reconcile(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             }
         )
 
+    n = parallelism or orders.sparkSession.sparkContext.defaultParallelism
     return (
         orders.select("o_orderkey", "o_totalprice")
+        .repartition(n, "o_orderkey")
         .groupBy("o_orderkey")
         .cogroup(
             lineitem.select(
                 "l_orderkey", "l_extendedprice", "l_discount"
-            ).groupBy("l_orderkey")
+            ).repartition(n, "l_orderkey")
+            .groupBy("l_orderkey")
         )
         .applyInPandas(reconcile, schema=_OUT_SCHEMA)
     )

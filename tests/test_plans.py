@@ -558,6 +558,19 @@ def test_cogroup_two_exchanges_one_pandas_node(spark, sf_dir):
     assert exchange_count(df) == 2
 
 
+def test_cogroup_python_stage_keeps_parallelism(spark, sf_dir):
+    """AQE must NOT coalesce the cogroup's exchanges to one partition:
+    a Python-UDF stage's cost is per-key invocation overhead, so
+    collapsing it serializes every key through a single worker (the
+    sf0.1 sweep measured 150k keys -> 15 min serial vs 28 s at 32-way).
+    The explicit repartition in cogroup_reconcile is user-specified, so
+    AQE leaves it alone."""
+    df = QUERIES["cg01_cogroup_reconcile"].fn(spark, sf_dir)
+    df.count()  # materialize so AQE finalizes the plan
+    n = df.rdd.getNumPartitions()
+    assert n == spark.sparkContext.defaultParallelism, n
+
+
 def test_argmax_aggregate_no_window(spark, sf_dir):
     """a19: max(struct) plans as a partial-combinable aggregate — one
     exchange, no Window node (the window formulation would sort every
