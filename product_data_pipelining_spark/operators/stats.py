@@ -374,3 +374,39 @@ def pr04_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_avg(clamped).alias("winsorized_avg"),
         )
     )
+
+
+@register("a20_hll_sketch_rollup", oracle=None)  # sketch estimates are
+# implementation-defined within the HLL error bound, so no engine-exact
+# SQL oracle; tests/test_plans.py pins the estimates against exact
+# countDistinct with the lgConfigK=12 relative-error contract (~1.6% rsd)
+def a20_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch pre-aggregation: weekly sketches → rollups.
+
+    The 100 TB distinct-count pattern: COUNT(DISTINCT user) over a year
+    re-scans a year of raw events for every query, while a per-(type,
+    week) Datasketches HLL sketch is built ONCE in the weekly load (one
+    map-side-combinable pass, O(2^lgK) bytes of state per group), and
+    any coarser rollup — monthly, yearly, all-time, cross-type — is a
+    sketch UNION over output-sized rows, never a raw re-scan. This
+    query materializes the weekly tier and rolls it to per-type totals;
+    the same ``hll_union_agg`` would serve any other grain. Estimates
+    are exact-comparable across engines running the same Datasketches
+    build but not SQL-reproducible in DuckDB, hence the pytest error
+    contract instead of a value oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        weekly.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_weeks"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "est_distinct_users"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..functions.rounding import duck_round
+from ..functions.rounding import det_sum, duck_round, sql_det_sum
 from ..registry import register
 
 RANGE_WINDOW_US = 600_000_000  # 10 minutes
@@ -283,4 +283,80 @@ def dt02_calendar_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_weekend"
         ),
         F.date_format(d, "yyyy-MM").alias("year_month"),
+    )
+
+
+@register(
+    "tp02_resample_gapfill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             {sql_det_sum("value")} AS day_value
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), bounds AS (
+      SELECT event_type, MIN(CAST(ts AS DATE)) AS mn,
+             MAX(CAST(ts AS DATE)) AS mx
+      FROM events GROUP BY event_type
+    ), spine AS (
+      SELECT event_type,
+             CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds
+    )
+    SELECT s.event_type,
+           CAST(s.day AS VARCHAR) AS day,
+           d.day_value IS NOT NULL AS observed,
+           last_value(d.day_value IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.day) AS filled_value
+    FROM spine s
+    LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+    """,
+)
+def tp02_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a daily grid + forward-fill of gaps.
+
+    The canonical prep step for ML feature windows and dashboards over
+    irregular event streams: aggregate to the target grain, densify
+    against a complete calendar spine, and carry the last observation
+    forward across gaps.
+
+    Scale shape: the heavy stage is the daily aggregation — one
+    exchange on (type, day) with map-side partials; everything after
+    runs on type x days rows (output-sized, independent of event
+    volume). The spine is generated per key from its own [min, max]
+    bounds via ``sequence`` + ``explode`` — no driver loop, no cross
+    join of a global calendar against the key dimension. The
+    forward-fill window partitions by type and orders by day; values
+    are deterministic-rounded day sums, so the fill copies
+    engine-identical numbers and the oracle matches exactly.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day"), "value"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        det_sum("value").alias("day_value")
+    )
+    spine = (
+        ev.groupBy("event_type")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        # string day for cross-engine dtype stability (repo convention);
+        # the window above still orders by the true DATE column
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("day_value").isNotNull().alias("observed"),
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
     )

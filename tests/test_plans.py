@@ -770,3 +770,26 @@ def test_hash_bucket_xxh_stable_and_partition_independent(spark, sf_dir):
     assert len(buckets) == 16
     n = len(a)
     assert all(abs(c - n / 16) < n / 16 for c in buckets.values()), buckets
+
+
+def test_hll_sketch_rollup_tracks_exact_distinct(spark, sf_dir):
+    """a20: the weekly-sketch union's per-type estimate must sit inside
+    the Datasketches HLL error envelope (lgConfigK=12 -> ~1.6% rsd; we
+    allow 3 sigma or an absolute slack of 2 for tiny groups) of the
+    exact countDistinct over the raw events — the contract that makes
+    the mergeable tier a safe substitute for raw re-scans."""
+    got = {
+        r["event_type"]: r["est_distinct_users"]
+        for r in QUERIES["a20_hll_sketch_rollup"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["d"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, est in got.items():
+        tol = max(0.05 * exact[t], 2)
+        assert abs(est - exact[t]) <= tol, (t, est, exact[t])
