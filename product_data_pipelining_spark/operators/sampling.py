@@ -242,3 +242,102 @@ def smp05_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("pick") <= _QUOTA_PER_SOURCE)
     )
+
+
+# temperature-flattening exponent for domain mixing (alpha < 1 boosts
+# under-represented sources, the multilingual-corpus rebalancing trick)
+_TEMP_ALPHA = 0.5
+# overall keep budget as a fraction of the corpus
+_TEMP_BUDGET = 0.5
+# 2^32 as a double: md5's first 8 hex chars map to [0, 2^32)
+_HEX8_SPAN = 4294967296.0
+
+
+@register(
+    "smp06_temperature_resample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_i FROM documents GROUP BY source
+    ), weights AS (
+      SELECT source, n_i,
+             POW(CAST(n_i AS DOUBLE) / SUM(n_i) OVER (), {_TEMP_ALPHA})
+               AS w_i,
+             SUM(n_i) OVER () AS n_total
+      FROM counts
+    ), rates AS (
+      SELECT source, n_i,
+             LEAST(1.0,
+                   (w_i / SUM(w_i) OVER ()) * n_total * {_TEMP_BUDGET} / n_i)
+               AS keep_rate
+      FROM weights
+    )
+    SELECT d.doc_id, d.source, r.keep_rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+          lpad(lower(to_hex(CAST(LEAST(floor(r.keep_rate * {_HEX8_SPAN}),
+                                       {int(_HEX8_SPAN) - 1}) AS BIGINT))),
+               8, '0')
+    """,
+)
+def smp06_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing: keep-rate ∝ share^(α-1).
+
+    The corpus-mixing pass LLM pipelines run before training: raw crawl
+    shares are flattened with temperature α (α=1 keeps natural
+    proportions, α→0 approaches uniform-per-domain), here α=0.5 under a
+    50% global budget. Each source's keep rate is min(1, target_share ·
+    budget / natural_share); membership is decided by comparing the
+    first 8 md5 hex chars of the doc id — a uniform, engine-portable
+    [0, 2^32) draw — against the rate's hex threshold, so the kept set
+    is a pure function of (doc_id, corpus composition): stable across
+    partitionings, cluster sizes, and engines.
+
+    Scale shape: the per-source histogram is one tiny aggregate
+    (source-cardinality rows; the window sums run on that aggregate,
+    not the corpus), broadcast back for a map-side filter — the
+    documents table is scanned once and never shuffled.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    everything = Window.partitionBy()
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_i"))
+    weights = counts.select(
+        "source",
+        "n_i",
+        F.pow(
+            F.col("n_i").cast("double") / F.sum("n_i").over(everything),
+            F.lit(_TEMP_ALPHA),
+        ).alias("w_i"),
+        F.sum("n_i").over(everything).alias("n_total"),
+    )
+    rates = weights.select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.col("w_i") / F.sum("w_i").over(everything))
+            * F.col("n_total")
+            * F.lit(_TEMP_BUDGET)
+            / F.col("n_i"),
+        ).alias("keep_rate"),
+    )
+    threshold = F.lpad(
+        F.lower(
+            F.hex(
+                F.least(
+                    F.floor(F.col("keep_rate") * F.lit(_HEX8_SPAN)),
+                    F.lit(int(_HEX8_SPAN) - 1),
+                ).cast("long")
+            )
+        ),
+        8,
+        "0",
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+            < threshold
+        )
+        .select("doc_id", "source", "keep_rate")
+    )

@@ -658,3 +658,71 @@ def redact_pii(c: Column) -> Column:
     for pat, repl in _PII_RULES:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+# context-window chunking: 32-token windows advancing by 24 (8 overlap) —
+# the overlap preserves cross-boundary context for training examples
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "tx12_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(
+               0, CAST((len(toks) - 1) // {CHUNK_STRIDE} AS BIGINT)
+             )) AS chunk_id
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, chunk_id,
+           len(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                          chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}))
+             AS n_chunk_tokens,
+           array_to_string(
+             list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                        chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def tx12_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping token windows per document.
+
+    The example-preparation step between corpus curation and training:
+    every document becomes ceil(n_tokens / stride) overlapping chunks
+    sized to the model's context budget. All array math is JVM-side
+    (``split``/``sequence``/``explode``/``slice``) — per-row fan-out is
+    n/stride with no shuffle at all: chunks are emitted inside the scan
+    stage and flow straight into whatever sink or tokenizer stage
+    follows. Chunk membership is a pure function of the document text,
+    so the output is identical at any parallelism.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.col("toks"))
+    last_chunk = F.floor((n - 1) / F.lit(CHUNK_STRIDE)).cast("long")
+    with_chunks = (
+        docs.select("doc_id", tokens().alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), last_chunk)
+            ).alias("chunk_id"),
+        )
+    )
+    sl = F.slice(
+        F.col("toks"),
+        (F.col("chunk_id") * CHUNK_STRIDE + 1).cast("int"),
+        CHUNK_TOKENS,
+    )
+    return with_chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size(sl).cast("long").alias("n_chunk_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )
