@@ -34,6 +34,13 @@ _LIVE_QUERY_BLOCK: dict = {}
 NEARDUP_COSINE = 0.4
 LSH_BITS = 4  # sign bits of the first 4 dims form the bucket
 CENT_STRIDE = 83  # vec_id % 83 == 7 rows act as IVF seed centroids
+# codebook size cap: seed centroids are additionally bounded to the
+# first MAX_CENTROIDS stride hits, so the cell count is FIXED once the
+# corpus outgrows CENT_STRIDE*MAX_CENTROIDS ids — without it |cells|
+# grows linearly with the corpus and the assignment pass turns
+# quadratic (the sf5 probe measured 1204 cells / 63 s). At the test
+# SFs every stride hit is kept, so pinned recall numbers are unchanged.
+MAX_CENTROIDS = 512
 NPROBE = 2  # IVF cells probed per query
 
 
@@ -292,9 +299,16 @@ def sim02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("q_nrm"),
         F.col("bucket").alias("q_bucket"),
     )
+    # the query side is stride-bounded (|corpus|/QUERY_STRIDE rows), so it
+    # BROADCASTS: the corpus never shuffles and candidate scoring runs in
+    # the scan stage at full parallelism. A plain equi-join here hashes
+    # BOTH sides onto the bucket key — 2^LSH_BITS distinct values, i.e.
+    # at most 16 reduce tasks moving full embedding arrays (the sf5 probe
+    # measured 124 s; this shape runs it in seconds). Downstream of the
+    # join only narrow (id, id, bucket, sim) rows reach the top-k window.
     scored = (
         v.join(
-            q,
+            F.broadcast(q),
             (F.col("bucket") == F.col("q_bucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
@@ -329,6 +343,7 @@ def sim02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (
       SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
       FROM v WHERE vec_id % {CENT_STRIDE} = 7
+        AND vec_id < {CENT_STRIDE * MAX_CENTROIDS}
     ),
     asg AS (
       SELECT v.vec_id, c.cent_id, v.embedding, v.nrm,
@@ -388,7 +403,10 @@ def sim04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     v = _with_norm(spark, sf_dir)
     cents = (
-        v.filter(F.col("vec_id") % CENT_STRIDE == 7)
+        v.filter(
+            (F.col("vec_id") % CENT_STRIDE == 7)
+            & (F.col("vec_id") < CENT_STRIDE * MAX_CENTROIDS)
+        )
         .select(
             F.col("vec_id").alias("cent_id"),
             F.col("embedding").alias("c_emb"),
@@ -399,24 +417,50 @@ def sim04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine(F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")),
         6,
     )
+    # Corpus assignment as a partial-combinable max-of-struct (a19's
+    # pattern), NOT a row_number window: the N x |cells| candidate set
+    # collapses map-side to one (vec_id, cell) row per vector, so the
+    # only corpus-sized shuffle moves N narrow rows. The window form
+    # shuffled and sorted N x |cells| rows WITH their embedding arrays —
+    # the dominant cost of the 63 s sf5 measurement. Tiebreak parity
+    # with the oracle's `ORDER BY sim DESC, cent_id ASC`: the struct
+    # max compares sim first, then -cent_id, so the smallest cent_id
+    # wins equal sims.
+    narrow = v.select("vec_id", "embedding", "nrm").crossJoin(
+        F.broadcast(cents)
+    ).select("vec_id", "cent_id", asg_sim.alias("asg_sim"))
+    cell_of = (
+        narrow.groupBy("vec_id")
+        .agg(F.max(F.struct("asg_sim", (-F.col("cent_id")).alias("nc"))).alias("m"))
+        .select("vec_id", (-F.col("m.nc")).alias("cell"))
+    )
+    cells = v.join(cell_of, "vec_id").select("vec_id", "cell", "embedding", "nrm")
+    # probe ranking runs on the QUERY subset only (|corpus|/QUERY_STRIDE
+    # rows x |cells| narrow candidates through the top-NPROBE window)
+    queries = v.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    q_narrow = queries.select("vec_id", "embedding", "nrm").crossJoin(
+        F.broadcast(cents)
+    ).select("vec_id", "cent_id", asg_sim.alias("asg_sim"))
     wc = Window.partitionBy("vec_id").orderBy(
         F.desc("asg_sim"), F.asc("cent_id")
     )
-    asg = (
-        v.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "nrm", "cent_id", asg_sim.alias("asg_sim"))
-        .withColumn("crank", F.row_number().over(wc))
-    )
-    cells = asg.filter(F.col("crank") == 1).select(
-        "vec_id", F.col("cent_id").alias("cell"), "embedding", "nrm"
-    )
-    probes = asg.filter(
-        (F.col("crank") <= NPROBE) & (F.col("vec_id") % QUERY_STRIDE == 0)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("cent_id").alias("cell"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
+    probes = (
+        q_narrow.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= NPROBE)
+        .join(
+            queries.select(
+                F.col("vec_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("nrm").alias("q_nrm"),
+            ),
+            "vec_id",
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cent_id").alias("cell"),
+            "q_emb",
+            "q_nrm",
+        )
     )
     scored = (
         cells.join(
