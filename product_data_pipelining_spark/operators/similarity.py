@@ -384,14 +384,17 @@ def sim04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: coarse quantize → probe nearest cells.
 
     Centroids are deterministic seed vectors (every {CENT_STRIDE}th
-    vec_id) so both engines agree exactly; production would k-means
-    them, which only changes how ``cents`` is produced. Every vector is
-    assigned to its nearest centroid (argmin over a broadcast cross
-    join — ~sqrt(N) centroids keeps this linear-ish); a query probes
-    its {NPROBE} nearest cells. The candidate join is an equi-join on
-    the cell id — the corpus side stays hash-partitioned by cell, only
-    the probe fan-out replicates, and no crossproduct ever forms. At
-    100 TB the cell assignment is precomputed and written
+    vec_id, capped at the first {MAX_CENTROIDS} hits so the codebook
+    size is FIXED once the corpus outgrows it — assignment stays
+    O(N x {MAX_CENTROIDS}), linear in the corpus) so both engines agree
+    exactly; production would k-means them, which only changes how
+    ``cents`` is produced. Every vector is assigned to its nearest
+    centroid via a map-side broadcast fan-out reduced by a
+    partial-combinable max-of-struct aggregate (never a window over the
+    N x cells candidate set); a query probes its {NPROBE} nearest
+    cells. The candidate join is an equi-join on the cell id — only
+    the bounded probe set replicates, and no crossproduct ever forms.
+    At 100 TB the cell assignment is precomputed and written
     partitioned-by-cell so probes prune partitions at the scan.
 
     Measured quality of the tradeoff (pinned by
