@@ -56,7 +56,29 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
 os.environ.setdefault("SPARK_GRAFT_PLAN_CACHE", "1")
 os.environ.setdefault("SPARK_GRAFT_AQE", "0")
-os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+
+
+def _sized_shuffle_partitions(sf_dir: str) -> str:
+    """Static-planning analog of AQE coalescing: shuffle partition count
+    sized from the SF dir's bytes (~64 MB per partition, floor 8, cap at
+    the core count) so the sf0.1 posture (8) doesn't serialize 50x data
+    through 8-way exchanges when the probe reuses this harness."""
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(sf_dir):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith((".", "_"))
+            )
+    except OSError:
+        pass
+    return str(min(CPUS, max(8, total // (64 * 1024 * 1024))))
+
+
+os.environ.setdefault(
+    "SPARK_GRAFT_SHUFFLE_PARTITIONS", _sized_shuffle_partitions(SF_DIR)
+)
 
 # headline set: one per operator family, weighted toward the shapes that
 # dominate real workloads (scan-agg, star join, window, dedup, ANN, text)
@@ -78,9 +100,11 @@ HEADLINE = [
     "tx11_corpus_filter_pipeline",
     "ev05_funnel_conversion",
     "sim01_ann_bruteforce_topk",
-    # the bucketed ANN scale path beside its brute-force baseline — at
-    # sf5 the LSH path runs 3.6x faster than brute force (7.2s vs 26s)
+    # the bucketed ANN scale path beside its brute-force baseline, plus
+    # its per-bucket-GEMM production twin (rows-only: no oracle, frame
+    # equality with sim02 pinned in tests — at sf5: 2.7s vs 6.6s HOF)
     "sim02_ann_lsh_bucketed",
+    "sim02x_ann_lsh_bucketed_np",
     "tp02_resample_gapfill",
     "mm02_decode_features",
 ]

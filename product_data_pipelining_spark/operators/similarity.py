@@ -332,6 +332,128 @@ def sim02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim02x_ann_lsh_bucketed_np", oracle=None)  # production twin of
+# sim02: identical bucketing/candidates/rounding/ranking, per-bucket BLAS
+# with in-kernel top-k (no SQL oracle — pytest pins exact frame equality
+# against the oracled sim02 at two SFs instead)
+def sim02x_ann_lsh_bucketed_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sign-LSH ANN, per-bucket GEMM — the throughput twin of sim02.
+
+    Same candidates and results as sim02, different execution: sim02
+    (and a first mapInPandas attempt scoring the JOINED pairs) both
+    materialize the |queries_b| x |corpus_b| candidate fan-out as rows
+    — at sf5 that is 12.5M rows each dragging two 64-float arrays, and
+    THAT transfer, not the dot-product arithmetic, is the cost (6.6 s
+    HOF vs 6.3 s pair-wise numpy). Here the corpus groups by bucket
+    (one ~25 MB shuffle of corpus rows, nothing pair-shaped), the
+    bounded query block broadcasts keyed by bucket (sim01's
+    MAX_QUERY_BLOCK guard + torrent broadcast + single-live-broadcast
+    lifecycle), and each bucket runs ONE longdouble GEMM with the
+    top-k selected in-kernel — only |queries| x k result rows ever
+    leave Python, and no downstream window is needed because a query's
+    bucket holds its entire candidate set. Rounding (DuckDB
+    half-away-from-zero at 4 dp) and the (sim DESC, neighbor ASC)
+    tiebreak are replicated in-kernel; frame equality with sim02 is
+    pinned at sf0.001/sf0.01 in tests and held at sf5 when measured.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .limit(MAX_QUERY_BLOCK + 1)
+        .collect()
+    )
+    if len(q_rows) > MAX_QUERY_BLOCK:
+        raise ValueError(
+            f"sim02x query block exceeds MAX_QUERY_BLOCK={MAX_QUERY_BLOCK}; "
+            "shard the query batch or raise the cap deliberately"
+        )
+    by_bucket: dict = {}
+    for r in q_rows:
+        b = "".join("1" if x >= 0 else "0" for x in r.embedding[:LSH_BITS])
+        ids, vecs = by_bucket.setdefault(b, ([], []))
+        ids.append(int(r.vec_id))
+        vecs.append(list(map(float, r.embedding)))
+    key = (id(spark.sparkContext), "sim02x")
+    prev = _LIVE_QUERY_BLOCK.pop(key, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    qb = spark.sparkContext.broadcast(by_bucket)
+    _LIVE_QUERY_BLOCK[key] = qb
+
+    top_k = TOP_K
+
+    def bucket_topk(pdf):
+        # nested closure: pickled by value, workers don't need the repo
+        import numpy as np
+        import pandas as pd
+
+        cols = ["query_id", "neighbor_id", "bucket", "cosine_sim", "rank"]
+        b = pdf["bucket"].iloc[0]
+        entry = qb.value.get(b)
+        if not entry or not len(pdf):
+            return pd.DataFrame(columns=cols)
+        q_ids, q_vecs = entry
+        Q = np.array(q_vecs, dtype=np.float64)
+        qid = np.array(q_ids, dtype=np.int64)
+        C = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+        q_nrm = np.sqrt(np.sum(Q**2, axis=1))
+        c_nrm = np.sqrt(np.sum(C**2, axis=1))
+        # float64 BLAS for the bulk (longdouble matmul has no BLAS path
+        # — measured 300x slower at these shapes), then longdouble
+        # refinement (sim01's verified oracle-parity technique) for the
+        # rare pairs whose scaled cosine lands within 1e-6 of a 4 dp
+        # rounding boundary, where a summation-order ulp could flip the
+        # rounded value. Everything else is >>1 ulp from the boundary,
+        # so BLAS-vs-sequential order cannot change r4.
+        sims = Q @ C.T / np.outer(q_nrm, c_nrm)
+        shifted = np.where(sims >= 0, sims * 1e4 + 0.5, sims * 1e4 - 0.5)
+        near = np.abs(shifted - np.rint(shifted)) < 1e-6
+        if near.any():
+            Ql = Q.astype(np.longdouble)
+            Cl = C.astype(np.longdouble)
+            qnl = np.sqrt(np.sum(Ql**2, axis=1))
+            cnl = np.sqrt(np.sum(Cl**2, axis=1))
+            for i, j in zip(*np.nonzero(near)):
+                sims[i, j] = np.float64(
+                    np.dot(Ql[i], Cl[j]) / (qnl[i] * cnl[j])
+                )
+        r4 = (
+            np.where(
+                sims >= 0,
+                np.floor(sims * 1e4 + 0.5),
+                np.ceil(sims * 1e4 - 0.5),
+            )
+            / 1e4
+        )
+        out = []
+        for i in range(len(qid)):
+            mask = vid != qid[i]
+            s, v_ = r4[i][mask], vid[mask]
+            order = np.lexsort((v_, -s))[:top_k]
+            for rank, j in enumerate(order, start=1):
+                out.append((int(qid[i]), int(v_[j]), b, float(s[j]), rank))
+        return pd.DataFrame(out, columns=cols)
+
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(LSH_BITS)
+        ]
+    )
+    corpus = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    return corpus.groupBy("bucket").applyInPandas(
+        bucket_topk,
+        schema=(
+            "query_id long, neighbor_id long, bucket string, "
+            "cosine_sim double, rank int"
+        ),
+    )
+
+
 @register(
     "sim04_ann_ivf",
     oracle=f"""

@@ -57,6 +57,7 @@ ARROW_ALLOWED = {
     "mm03_frame_sample",
     "cg01_cogroup_reconcile",
     "sim01_ann_bruteforce_topk",  # partition-local numpy top-k (mapInPandas)
+    "sim02x_ann_lsh_bucketed_np",  # Arrow/numpy scoring twin of sim02
 }
 
 ARROW_NODES = re.compile(

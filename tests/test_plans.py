@@ -793,3 +793,17 @@ def test_hll_sketch_rollup_tracks_exact_distinct(spark, sf_dir):
     for t, est in got.items():
         tol = max(0.05 * exact[t], 2)
         assert abs(est - exact[t]) <= tol, (t, est, exact[t])
+
+
+def test_sim02x_numpy_twin_frame_equals_sim02(spark, sf_dir):
+    """sim02x (Arrow/numpy scoring) must reproduce the oracled sim02
+    frame exactly: same buckets/candidates/rounding/ranking, only the
+    dot-product execution differs."""
+    a = {
+        tuple(r) for r in QUERIES["sim02_ann_lsh_bucketed"].fn(spark, sf_dir).collect()
+    }
+    b = {
+        tuple(r)
+        for r in QUERIES["sim02x_ann_lsh_bucketed_np"].fn(spark, sf_dir).collect()
+    }
+    assert a == b
