@@ -725,3 +725,178 @@ def dd08_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_duplicates"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dd10: Bloom-prefiltered decontamination — dd07's answer, the "benchmark
+# set too big to broadcast" execution.
+
+BLOOM_BITS = 1 << 20  # 1 Mi bits = 128 KiB bitmap, fixed regardless of |bench|
+BLOOM_HASHES = 3  # seeded xxhash64 probes per shingle
+
+
+def _bloom_probe(s: Column, seed: int) -> Column:
+    """Bit position in [0, BLOOM_BITS) for one seeded probe."""
+    return F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(BLOOM_BITS))
+
+
+@register(
+    "dd10_bloom_decontaminate",
+    # Bloom filters have no false negatives and every candidate is
+    # exact-confirmed, so the answer is identical to dd07's — the oracle
+    # is the same SQL (DuckDB needs no prefilter at oracle scale).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM toks
+    ), bench AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT c.doc_id, COUNT(*) AS shared_shingles
+      FROM sh c JOIN bench b ON c.s = b.s
+      WHERE c.doc_id % 97 <> 0
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, shared_shingles
+    FROM hits WHERE shared_shingles >= {_CONTAM_MIN_SHARED}
+    """,
+)
+def dd10_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a Bloom-bitmap prefilter: dd07's exact
+    answer in the regime where the benchmark shingle set is too big to
+    broadcast as strings.
+
+    dd07 broadcasts the distinct benchmark shingles — right when the
+    eval suite is small, impossible when the held-out set is itself
+    corpus-sized (e.g. scrubbing a 100 TB crawl against a multi-TB
+    blocklist). This variant compresses the benchmark side into a
+    fixed 128 KiB Bloom bitmap (1 Mi bits, 3 seeded ``xxhash64``
+    probes) and keeps every stage JVM-side:
+
+    1. BUILD: benchmark shingles → bit positions → 64-bit words via
+       ``bit_or`` partial aggregation — a ≤16 Ki-row (word, bits)
+       table, broadcast regardless of how many shingles fed it.
+    2. PROBE: each corpus shingle joins the bitmap on its word index —
+       3 broadcast hash joins, no Python — and survives only if all 3
+       probed bits are set. The inner join drops absent words for
+       free (missing word ⇒ definitely not in the set).
+    3. CONFIRM: survivors (true hits + ~|corpus|·FPR false positives)
+       are exact-joined to the real benchmark shingles with a SHUFFLE
+       join — modeling the too-big-to-broadcast side — then counted
+       per doc exactly as dd07.
+
+    No false negatives (Bloom guarantee) + exact confirm ⇒ the output
+    is provably identical to dd07; ``tests`` pin frame equality and
+    the prefilter's selectivity. At FPR ≈ (1-e^(-3n/m))^3 the confirm
+    shuffle moves a few percent of the corpus shingles instead of all
+    of them.
+    """
+    ex = _exploded_shingles(spark, sf_dir)
+    bench = ex.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    corpus = ex.filter(F.col("doc_id") % 97 != 0)
+
+    # BUILD: word-indexed bitmap of the benchmark shingle set
+    probes = F.array(
+        *[_bloom_probe(F.col("s"), seed) for seed in range(BLOOM_HASHES)]
+    )
+    bitmap = (
+        bench.select(F.explode(probes).alias("pos"))
+        .select(
+            F.shiftright("pos", 6).alias("word"),
+            F.expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+    # PROBE: 3 broadcast joins against the tiny bitmap table
+    survivors = corpus
+    for seed in range(BLOOM_HASHES):
+        pos = _bloom_probe(F.col("s"), seed)
+        probe = survivors.withColumn(f"w{seed}", F.shiftright(pos, 6)).withColumn(
+            f"m{seed}", F.expr(
+                f"shiftleft(1L, CAST(pmod(pmod(xxhash64(s, {seed}), "
+                f"{BLOOM_BITS}), 64) AS INT))"
+            )
+        )
+        bm = bitmap.withColumnRenamed("word", f"w{seed}").withColumnRenamed(
+            "bits", f"b{seed}"
+        )
+        survivors = (
+            probe.join(F.broadcast(bm), f"w{seed}")
+            .filter(F.col(f"b{seed}").bitwiseAND(F.col(f"m{seed}")) != 0)
+            .drop(f"w{seed}", f"m{seed}", f"b{seed}")
+        )
+
+    # CONFIRM: exact shuffle join on the surviving minority
+    return (
+        survivors.join(bench.hint("shuffle_hash"), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= _CONTAM_MIN_SHARED)
+    )
+
+
+@register(
+    "dd11_cluster_keep_best",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id, n_chars,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS cluster_fp
+      FROM documents
+    ), ranked AS (
+      SELECT cluster_fp, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_fp
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_fp) AS n_members
+      FROM canon
+    )
+    SELECT cluster_fp, doc_id AS keeper_doc_id,
+           n_chars AS keeper_n_chars, n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dd11_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster representative selection: keep the best doc.
+
+    After clustering (here: md5 over case-folded, punctuation-stripped,
+    whitespace-collapsed text, so formatting variants of the same
+    content collide), a curation pipeline keeps ONE representative per
+    cluster — the highest-quality member (longest original text;
+    doc_id breaks ties for determinism) — and drops the rest.
+
+    The oracle states it as the textbook ROW_NUMBER()-per-partition
+    window; the Spark plan deliberately does NOT: an arg-max is a
+    plain aggregate over ``max(struct(quality, -doc_id))``, which gets
+    map-side partial aggregation and one exchange on the cluster key —
+    at 100 TB that's strictly better than a window (full sort of every
+    cluster, no partial aggregation). Same technique as a19.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        )
+    )
+    best = F.max(
+        F.struct(
+            F.col("n_chars").alias("q"), (-F.col("doc_id")).alias("neg_id")
+        )
+    )
+    return (
+        docs.select(canon.alias("cluster_fp"), "doc_id", "n_chars")
+        .groupBy("cluster_fp")
+        .agg(best.alias("best"), F.count("*").alias("n_members"))
+        .select(
+            "cluster_fp",
+            (-F.col("best.neg_id")).alias("keeper_doc_id"),
+            F.col("best.q").alias("keeper_n_chars"),
+            "n_members",
+        )
+    )

@@ -341,3 +341,46 @@ def smp06_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "keep_rate")
     )
+
+
+_SHUFFLE_EPOCH = 42  # seed: a new epoch value yields a fresh permutation
+
+
+@register(
+    "smp07_shuffle_order",
+    oracle=f"""
+    SELECT doc_id,
+           md5('{_SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key
+    """,
+)
+def smp07_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: sort by seeded hash.
+
+    Training wants each epoch to visit documents in a pseudo-random
+    order that is nevertheless REPRODUCIBLE (resume a crashed run,
+    re-derive the exact batch a loss spike came from) and
+    cluster-size-independent. ``df.orderBy(rand(seed))`` fails both:
+    Spark's rand is seeded per-partition, so the permutation changes
+    whenever the scan splits differently. Here the sort key is
+    ``md5(epoch ':' doc_id)`` — a pure function of the row, so the
+    permutation is a stable property of the data + epoch number, and
+    bumping the epoch constant reshuffles everything.
+
+    At 100 TB this is Spark's distributed sort: a range-partitioned
+    exchange (sampled split points, no single-reducer bottleneck) with
+    each output shard internally ordered — exactly the layout a
+    sharded training loader wants (read shards round-robin; global
+    order is shard-concatenation order). No window functions, no
+    driver involvement; the hash rides the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat(
+            F.lit(f"{_SHUFFLE_EPOCH}:"), F.col("doc_id").cast("string")
+        )
+    )
+    return docs.select("doc_id", key.alias("shuffle_key")).orderBy(
+        "shuffle_key"
+    )

@@ -654,3 +654,119 @@ def sim03_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
             duck_round(sim, 4).alias("cosine_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sim05: distributed spherical k-means — the codebook trainer sim04's
+# docstring promises ("production would k-means them").
+
+KMEANS_ITERS = 3  # Lloyd's rounds: 2 centroid updates + final assignment
+
+
+@register("sim05_kmeans_assign", oracle=None)  # iterative — no single
+# SQL statement expresses the loop; tests/test_pipeline.py re-derives
+# every assignment with an exact Python mirror of the arithmetic.
+def sim05_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means: refine the IVF codebook, assign all.
+
+    Lloyd's algorithm with cosine affinity, seeded from sim04's
+    deterministic centroid rows so the two operators compose (train
+    here, serve there). {KMEANS_ITERS} rounds: assign every vector to
+    its most-similar centroid, recompute each centroid as the mean of
+    its members, final round emits the assignment.
+
+    Scale shape — per iteration, nothing leaves the cluster:
+
+    - ASSIGN: the codebook (≤ MAX_CENTROIDS × 64 doubles ≈ 256 KiB)
+      broadcasts; the N×K candidate fan-out is collapsed map-side by a
+      partial-combinable max-of-struct aggregate (a19's pattern), so
+      the only corpus-sized shuffle moves N narrow (vec_id, cluster)
+      rows — same discipline as sim04's assignment.
+    - UPDATE: member vectors posexplode to (cluster, dim, value) and
+      sum map-side; the exchange carries at most K×64 rows per map
+      partition. No driver collect: the new codebook stays a (tiny)
+      DataFrame re-broadcast next round.
+
+    Determinism at any parallelism (what makes the exact pytest mirror
+    possible): per-dimension sums quantize to the 1e-6 grid and
+    accumulate as BIGINT (order-independent, whole-stage-codegen —
+    ``functions/rounding._scaled_long``'s technique), the mean divides
+    that exact integer back in double, and assignment compares
+    ``duck_round(cosine, 6)`` with min-cluster tiebreak, all pure
+    IEEE ops evaluated in a fixed sequential order. Empty clusters
+    drop out (classic Lloyd's); labels are the seed cent_ids, so
+    cluster ids stay stable across rounds and runs.
+    """
+    v = _with_norm(spark, sf_dir)
+    cents = (
+        v.filter(
+            (F.col("vec_id") % CENT_STRIDE == 7)
+            & (F.col("vec_id") < CENT_STRIDE * MAX_CENTROIDS)
+        )
+        .select(
+            F.col("vec_id").alias("cluster_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    for it in range(KMEANS_ITERS):
+        asg_sim = duck_round(
+            cosine(
+                F.col("embedding"), F.col("c_emb"),
+                F.col("nrm"), F.col("c_nrm"),
+            ),
+            6,
+        )
+        narrow = (
+            v.select("vec_id", "embedding", "nrm")
+            .crossJoin(F.broadcast(cents))
+            .select("vec_id", "cluster_id", asg_sim.alias("asg_sim"))
+        )
+        assign = (
+            narrow.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        "asg_sim", (-F.col("cluster_id")).alias("nc")
+                    )
+                ).alias("m")
+            )
+            .select("vec_id", (-F.col("m.nc")).alias("cluster_id"))
+        )
+        if it == KMEANS_ITERS - 1:
+            return assign
+        # UPDATE: order-independent per-dimension mean on the 1e-6 grid
+        scaled = F.when(
+            F.col("val") >= 0, F.floor(F.col("val") * 1e6 + 0.5)
+        ).otherwise(F.ceil(F.col("val") * 1e6 - 0.5))
+        dims = (
+            v.join(assign, "vec_id")
+            .select(
+                "cluster_id",
+                F.posexplode(F.transform("embedding", lambda x: x.cast("double"))),
+            )
+            .withColumnRenamed("col", "val")
+            .select("cluster_id", "pos", scaled.cast("long").alias("sv"))
+        )
+        means = (
+            dims.groupBy("cluster_id", "pos")
+            .agg(F.sum("sv").alias("ssum"), F.count("*").alias("cnt"))
+            .select(
+                "cluster_id",
+                "pos",
+                (
+                    (F.col("ssum").cast("double") / F.lit(1e6))
+                    / F.col("cnt").cast("double")
+                ).alias("mean"),
+            )
+        )
+        new_emb = F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+            lambda s: s["mean"],
+        )
+        cents = (
+            means.groupBy("cluster_id")
+            .agg(new_emb.alias("c_emb"))
+            .select("cluster_id", "c_emb", norm(F.col("c_emb")).alias("c_nrm"))
+        )
+    raise AssertionError("unreachable")  # pragma: no cover

@@ -727,3 +727,77 @@ def test_read_with_evolution_rejects_narrowing(spark, tmp_path):
         read_with_evolution(
             spark, path, StructType([StructField("id", IntegerType())])
         )
+
+
+def test_kmeans_assignments_match_python_mirror(spark, sf_dir):
+    """sim05's every assignment, re-derived by an exact arithmetic
+    mirror: same IEEE ops in the same sequential order (products,
+    left-fold accumulation, duck_round-6, 1e-6-grid integer centroid
+    sums), so the comparison is bit-exact, not approximate."""
+    import numpy as np
+
+    from product_data_pipelining_spark.io import load_table
+    from product_data_pipelining_spark.operators.similarity import (
+        CENT_STRIDE,
+        KMEANS_ITERS,
+        MAX_CENTROIDS,
+        sim05_kmeans_assign,
+    )
+
+    def fold(products):  # left-to-right sequential double fold
+        return np.add.accumulate(products, axis=-1)[..., -1]
+
+    def r6(x):
+        s = x * 1e6
+        return np.where(x >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)) / 1e6
+
+    emb_rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vec_ids = np.array([r.vec_id for r in emb_rows], dtype=np.int64)
+    V = np.array(
+        [np.asarray(r.embedding, dtype=np.float32) for r in emb_rows]
+    ).astype(np.float64)  # float32 -> float64 widening is exact
+    nrm = np.sqrt(fold(V * V))
+
+    seed = (vec_ids % CENT_STRIDE == 7) & (
+        vec_ids < CENT_STRIDE * MAX_CENTROIDS
+    )
+    order = np.argsort(vec_ids[seed])
+    cids = vec_ids[seed][order]
+    C, c_nrm = V[seed][order], nrm[seed][order]
+
+    for it in range(KMEANS_ITERS):
+        sims = np.empty((len(V), len(cids)))
+        for j in range(len(cids)):
+            sims[:, j] = r6(fold(V * C[j]) / (nrm * c_nrm[j]))
+        assert not np.isnan(sims).any()
+        # argmax returns the FIRST max; cids ascending => min-id tiebreak
+        assign = np.argmax(sims, axis=1)
+        if it == KMEANS_ITERS - 1:
+            break
+        sv = np.where(
+            V >= 0, np.floor(V * 1e6 + 0.5), np.ceil(V * 1e6 - 0.5)
+        ).astype(np.int64)
+        keep, C_new, n_new = [], [], []
+        for j in range(len(cids)):
+            members = assign == j
+            if not members.any():
+                continue  # empty cluster drops out (classic Lloyd's)
+            ssum = sv[members].sum(axis=0)
+            mean = (ssum.astype(np.float64) / 1e6) / float(members.sum())
+            keep.append(cids[j])
+            C_new.append(mean)
+            n_new.append(np.sqrt(fold(mean * mean)))
+        cids = np.array(keep, dtype=np.int64)
+        C = np.array(C_new)
+        c_nrm = np.array(n_new)
+
+    want = {int(v): int(cids[a]) for v, a in zip(vec_ids, assign)}
+    got = {
+        r.vec_id: r.cluster_id
+        for r in sim05_kmeans_assign(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -807,3 +807,44 @@ def test_sim02x_numpy_twin_frame_equals_sim02(spark, sf_dir):
         for r in QUERIES["sim02x_ann_lsh_bucketed_np"].fn(spark, sf_dir).collect()
     }
     assert a == b
+
+
+def test_shuffle_order_is_range_partitioned_sort(spark, sf_dir):
+    """smp07's global permutation must be Spark's distributed sort —
+    a rangepartitioning exchange — and never a single-partition window
+    or coalesce(1) funnel."""
+    from product_data_pipelining_spark.plans.inspect import physical_plan
+
+    df = QUERIES["smp07_shuffle_order"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "rangepartitioning" in plan.lower(), plan[:800]
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_bloom_decontaminate_equals_exact_and_prefilters(spark, sf_dir):
+    """dd10 must reproduce dd07's exact answer (Bloom = no false
+    negatives + exact confirm), with the probe stage implemented as
+    broadcast hash joins against the bitmap words — never a Python UDF
+    or a corpus-side broadcast."""
+    from product_data_pipelining_spark.plans.inspect import physical_plan
+
+    exact = {tuple(r) for r in QUERIES["dd07_decontaminate"].fn(spark, sf_dir).collect()}
+    bloom_df = QUERIES["dd10_bloom_decontaminate"].fn(spark, sf_dir)
+    bloom = {tuple(r) for r in bloom_df.collect()}
+    assert bloom == exact
+    plan = physical_plan(bloom_df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:1500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cluster_keep_best_is_partial_aggregate_not_window(spark, sf_dir):
+    """dd11's arg-max must compile to a partial-combinable hash
+    aggregate (map-side combine before the exchange), not the oracle's
+    row_number window formulation."""
+    from product_data_pipelining_spark.plans.inspect import physical_plan
+
+    df = QUERIES["dd11_cluster_keep_best"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert has_partial_aggregation(df), plan[:1200]
