@@ -96,6 +96,9 @@ HEADLINE = [
     # counts toward `value` but stays out of the DuckDB ratio; here to put
     # a wall-time number on the codegen'd-hash path (expected < dd04)
     "dd09_minhash_lsh_pairs_xxh",
+    # Bloom-prefilter decontamination: dd07's exact answer in the
+    # bench-set-too-big-to-broadcast regime (oracled — same SQL)
+    "dd10_bloom_decontaminate",
     "tx02_quality_score",
     "tx11_corpus_filter_pipeline",
     "ev05_funnel_conversion",
@@ -106,6 +109,9 @@ HEADLINE = [
     "sim02_ann_lsh_bucketed",
     "sim02x_ann_lsh_bucketed_np",
     "tp02_resample_gapfill",
+    # distributed spherical k-means (3 Lloyd's rounds over the full
+    # embedding table; rows-only — iterative, no single SQL statement)
+    "sim05_kmeans_assign",
     "mm02_decode_features",
 ]
 

@@ -42,8 +42,11 @@ def run_bench(sf_dir: str) -> dict:
 
 # value-compare is driver-bounded (both result sets come to pandas);
 # headline outputs are aggregate-sized except sessionize, which grows
-# with users — above this cap record a distributed row-count check only
-MAX_COMPARE_ROWS = 2_000_000
+# with users — above this cap record a distributed row-count check only.
+# normalize() is vectorized (checks/oracle_compare._canon_series), so
+# 10M rows x a handful of columns compares in tens of seconds / a few
+# GB of driver memory; the cap guards the truly unbounded case.
+MAX_COMPARE_ROWS = 10_000_000
 
 
 def run_correctness(sf_dir: str) -> dict:

@@ -159,3 +159,47 @@ def test_last_writer_wins_keeps_max_version_per_key(spark, rows):
     for k, ver in rows:
         want[k] = max(want.get(k, -1), ver)
     assert got == {(k, v) for k, v in want.items()}, (rows, got)
+
+
+def test_vectorized_normalize_matches_per_cell():
+    """_canon_series fast paths must be cell-for-cell identical to the
+    reference canon_cell mapping on every dtype the oracles produce:
+    ints (incl. nullable), floats (int-valued, fractional, NaN),
+    strings with nulls, dates, and timestamps with/without sub-second
+    parts."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from product_data_pipelining_spark.checks.oracle_compare import (
+        _canon_series,
+        canon_cell,
+    )
+
+    cols = {
+        "i": pd.Series([1, -7, 0, 2**53], dtype="int64"),
+        "i_na": pd.Series([1, None, 3, None], dtype="Int64"),
+        "f_int": pd.Series([1.0, -2.0, 0.0, 1e14]),
+        "f_mix": pd.Series([1.5, np.nan, -0.125, 3.0]),
+        "s": pd.Series(["a", None, "b", ""]),
+        "d": pd.Series(
+            [dt.date(2024, 1, 2), dt.date(1999, 12, 31), None, dt.date(2000, 2, 29)]
+        ),
+        "ts": pd.Series(
+            pd.to_datetime(
+                ["2024-01-02 03:04:05", "1999-12-31 23:59:59", None, "2000-02-29 12:00:00"]
+            )
+        ),
+        "ts_us": pd.Series(
+            pd.to_datetime(
+                ["2024-01-02 03:04:05.000123", "1999-12-31 23:59:59", None, "2000-02-29 12:00:00.5"],
+                format="mixed",
+            )
+        ),
+        "b": pd.Series([True, False, True, None], dtype=object),
+    }
+    for name, s in cols.items():
+        got = _canon_series(s).tolist()
+        want = s.map(canon_cell).tolist()
+        assert got == want, (name, got, want)
