@@ -509,8 +509,9 @@ def sim04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id, capped at the first {MAX_CENTROIDS} hits so the codebook
     size is FIXED once the corpus outgrows it — assignment stays
     O(N x {MAX_CENTROIDS}), linear in the corpus) so both engines agree
-    exactly; production would k-means them, which only changes how
-    ``cents`` is produced. Every vector is assigned to its nearest
+    exactly; production would k-means them (``sim05_kmeans_assign`` is
+    that trainer — swap its refined codebook in here), which only
+    changes how ``cents`` is produced. Every vector is assigned to its nearest
     centroid via a map-side broadcast fan-out reduced by a
     partial-combinable max-of-struct aggregate (never a window over the
     N x cells candidate set); a query probes its {NPROBE} nearest
