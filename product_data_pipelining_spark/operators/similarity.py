@@ -661,27 +661,33 @@ def sim03_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
 # sim05: distributed spherical k-means — the codebook trainer sim04's
 # docstring promises ("production would k-means them").
 
-KMEANS_ITERS = 3  # Lloyd's rounds: 2 centroid updates + final assignment
+KMEANS_ITERS = 3  # Lloyd's rounds: 2 sample-trained updates + full assignment
+KMEANS_TRAIN_MOD = 4  # training sample: vec_id % 4 == 0 (deterministic 25%)
 
 
 @register("sim05_kmeans_assign", oracle=None)  # iterative — no single
 # SQL statement expresses the loop; tests/test_pipeline.py re-derives
 # every assignment with an exact Python mirror of the arithmetic.
 def sim05_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed spherical k-means: refine the IVF codebook, assign all.
+    """Distributed spherical k-means: refine the IVF codebook on a
+    sample, assign the full corpus.
 
     Lloyd's algorithm with cosine affinity, seeded from sim04's
     deterministic centroid rows so the two operators compose (train
-    here, serve there). {KMEANS_ITERS} rounds: assign every vector to
-    its most-similar centroid, recompute each centroid as the mean of
-    its members, final round emits the assignment.
+    here, serve there). Centroid training runs on a deterministic
+    1-in-{KMEANS_TRAIN_MOD} sample (``vec_id % {KMEANS_TRAIN_MOD} ==
+    0`` — membership is a pure function of the row, any cluster size
+    reproduces it); the full corpus pays the N×K assignment exactly
+    once, at the end. That is the 100 TB posture: codebook quality
+    converges on a few percent of the data (standard IVF practice),
+    so scanning all of it every Lloyd's round buys nothing.
 
-    Scale shape — per iteration, nothing leaves the cluster:
+    Scale shape — per round, nothing leaves the cluster:
 
     - ASSIGN: the codebook (≤ MAX_CENTROIDS × 64 doubles ≈ 256 KiB)
-      broadcasts; the N×K candidate fan-out is collapsed map-side by a
+      broadcasts; the n×K candidate fan-out is collapsed map-side by a
       partial-combinable max-of-struct aggregate (a19's pattern), so
-      the only corpus-sized shuffle moves N narrow (vec_id, cluster)
+      the only data-sized shuffle moves n narrow (vec_id, cluster)
       rows — same discipline as sim04's assignment.
     - UPDATE: member vectors posexplode to (cluster, dim, value) and
       sum map-side; the exchange carries at most K×64 rows per map
@@ -699,6 +705,7 @@ def sim05_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster ids stay stable across rounds and runs.
     """
     v = _with_norm(spark, sf_dir)
+    train = v.filter(F.col("vec_id") % KMEANS_TRAIN_MOD == 0)
     cents = (
         v.filter(
             (F.col("vec_id") % CENT_STRIDE == 7)
@@ -710,7 +717,8 @@ def sim05_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("c_nrm"),
         )
     )
-    for it in range(KMEANS_ITERS):
+
+    def assign_to(rows: DataFrame, cents: DataFrame) -> DataFrame:
         asg_sim = duck_round(
             cosine(
                 F.col("embedding"), F.col("c_emb"),
@@ -719,29 +727,28 @@ def sim05_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
         narrow = (
-            v.select("vec_id", "embedding", "nrm")
+            rows.select("vec_id", "embedding", "nrm")
             .crossJoin(F.broadcast(cents))
             .select("vec_id", "cluster_id", asg_sim.alias("asg_sim"))
         )
-        assign = (
+        return (
             narrow.groupBy("vec_id")
             .agg(
                 F.max(
-                    F.struct(
-                        "asg_sim", (-F.col("cluster_id")).alias("nc")
-                    )
+                    F.struct("asg_sim", (-F.col("cluster_id")).alias("nc"))
                 ).alias("m")
             )
             .select("vec_id", (-F.col("m.nc")).alias("cluster_id"))
         )
-        if it == KMEANS_ITERS - 1:
-            return assign
+
+    for _ in range(KMEANS_ITERS - 1):
+        assign = assign_to(train, cents)
         # UPDATE: order-independent per-dimension mean on the 1e-6 grid
         scaled = F.when(
             F.col("val") >= 0, F.floor(F.col("val") * 1e6 + 0.5)
         ).otherwise(F.ceil(F.col("val") * 1e6 - 0.5))
         dims = (
-            v.join(assign, "vec_id")
+            train.join(assign, "vec_id")
             .select(
                 "cluster_id",
                 F.posexplode(F.transform("embedding", lambda x: x.cast("double"))),
@@ -770,4 +777,4 @@ def sim05_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(new_emb.alias("c_emb"))
             .select("cluster_id", "c_emb", norm(F.col("c_emb")).alias("c_nrm"))
         )
-    raise AssertionError("unreachable")  # pragma: no cover
+    return assign_to(v, cents)

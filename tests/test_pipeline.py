@@ -740,6 +740,7 @@ def test_kmeans_assignments_match_python_mirror(spark, sf_dir):
     from product_data_pipelining_spark.operators.similarity import (
         CENT_STRIDE,
         KMEANS_ITERS,
+        KMEANS_TRAIN_MOD,
         MAX_CENTROIDS,
         sim05_kmeans_assign,
     )
@@ -769,21 +770,25 @@ def test_kmeans_assignments_match_python_mirror(spark, sf_dir):
     cids = vec_ids[seed][order]
     C, c_nrm = V[seed][order], nrm[seed][order]
 
-    for it in range(KMEANS_ITERS):
-        sims = np.empty((len(V), len(cids)))
+    def assign_rows(rows, norms):
+        sims = np.empty((len(rows), len(cids)))
         for j in range(len(cids)):
-            sims[:, j] = r6(fold(V * C[j]) / (nrm * c_nrm[j]))
+            sims[:, j] = r6(fold(rows * C[j]) / (norms * c_nrm[j]))
         assert not np.isnan(sims).any()
         # argmax returns the FIRST max; cids ascending => min-id tiebreak
-        assign = np.argmax(sims, axis=1)
-        if it == KMEANS_ITERS - 1:
-            break
-        sv = np.where(
-            V >= 0, np.floor(V * 1e6 + 0.5), np.ceil(V * 1e6 - 0.5)
-        ).astype(np.int64)
+        return np.argmax(sims, axis=1)
+
+    # training runs on the deterministic 1-in-KMEANS_TRAIN_MOD sample
+    t_mask = vec_ids % KMEANS_TRAIN_MOD == 0
+    T, t_nrm = V[t_mask], nrm[t_mask]
+    sv = np.where(
+        T >= 0, np.floor(T * 1e6 + 0.5), np.ceil(T * 1e6 - 0.5)
+    ).astype(np.int64)
+    for _ in range(KMEANS_ITERS - 1):
+        t_assign = assign_rows(T, t_nrm)
         keep, C_new, n_new = [], [], []
         for j in range(len(cids)):
-            members = assign == j
+            members = t_assign == j
             if not members.any():
                 continue  # empty cluster drops out (classic Lloyd's)
             ssum = sv[members].sum(axis=0)
@@ -794,6 +799,7 @@ def test_kmeans_assignments_match_python_mirror(spark, sf_dir):
         cids = np.array(keep, dtype=np.int64)
         C = np.array(C_new)
         c_nrm = np.array(n_new)
+    assign = assign_rows(V, nrm)  # full corpus, once
 
     want = {int(v): int(cids[a]) for v, a in zip(vec_ids, assign)}
     got = {
