@@ -53,8 +53,9 @@ _SQL_SHINGLES = (
 )
 
 
-def shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct n-gram (word) shingles of a token array.
+def gram_windows(toks: Column, n: int) -> Column:
+    """All overlapping n-gram (word) windows of a token array, in
+    positional order (index i holds the gram starting at token i).
 
     Built by zipping the array with its shifted slices rather than
     indexing inside a ``transform`` lambda: higher-order functions are
@@ -74,8 +75,12 @@ def shingles(toks: Column, n: int = 3) -> Column:
         )
     # zip_with pads the shorter side with null; concat_ws skips nulls, so
     # the trailing entries are partial (<n)-grams — cut to the full ones.
-    full = F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(full)
+    return F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram (word) shingles of a token array."""
+    return F.array_distinct(gram_windows(toks, n))
 
 
 def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,4 +904,107 @@ def dd11_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.q").alias("keeper_n_chars"),
             "n_members",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd12: exact duplicated-span coverage — the substring-level dedup family
+# (Lee et al., "Deduplicating Training Data Makes Language Models Better"),
+# simplified to fixed-width token windows so the decision stays exact and
+# SQL-expressible. Distinct from tx05 (winnowing *selects* fingerprints)
+# and dd02/dd04 (set-similarity over whole documents): dd12 measures how
+# much of EACH document is covered by spans that also occur verbatim in
+# at least one OTHER document — the actual curation signal for
+# boilerplate/template removal.
+
+SPAN_W = 8  # window width in tokens (real pipelines: 50-token windows)
+SPAN_KEEP_MAX = 0.5  # drop docs with >= 50% duplicated-token coverage
+
+_SQL_SPAN_GRAM = " || ' ' || ".join(f"t[i+{j}]" for j in range(SPAN_W))
+
+
+@register(
+    "dd12_span_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), spans AS (
+      SELECT doc_id, i - 1 AS pos, {_SQL_SPAN_GRAM} AS gram
+      FROM toks, unnest(range(1, len(t) - {SPAN_W} + 2)) AS u(i)
+    ), dup AS (
+      SELECT gram FROM spans GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+      SELECT s.doc_id, COUNT(DISTINCT p) AS dup_positions
+      FROM spans s JOIN dup USING (gram),
+           unnest(range(s.pos, s.pos + {SPAN_W})) AS q(p)
+      GROUP BY s.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.dup_positions, 0) AS BIGINT) AS dup_positions,
+           ROUND(CAST(COALESCE(c.dup_positions, 0) AS DOUBLE)
+                 / CAST(len(t.t) AS DOUBLE), 4) AS dup_coverage,
+           ROUND(CAST(COALESCE(c.dup_positions, 0) AS DOUBLE)
+                 / CAST(len(t.t) AS DOUBLE), 4) < {SPAN_KEEP_MAX} AS keep
+    FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
+    """,
+)
+def dd12_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span coverage per document (substring dedup).
+
+    Every overlapping ``SPAN_W``-token window is a span; a span is
+    *duplicated* if its exact text occurs in >= 2 distinct documents.
+    Each document reports the fraction of its token positions covered
+    by at least one duplicated span (positions covered by overlapping
+    spans count once — an exact interval union, computed as a distinct
+    count over the exploded position range), and a ``keep`` decision
+    at the ``SPAN_KEEP_MAX`` coverage threshold.
+
+    Scale shape: spans explode map-side off the scan (positional
+    ``gram_windows`` — linear per doc, no O(len²) lambda indexing);
+    the duplicated-gram set is one partial-aggregated exchange keyed
+    on the gram; marking covered spans is an equi-join on the same
+    key, so the shuffle moves (gram -> doc, pos) rows, never document
+    text. The per-doc interval union explodes at most SPAN_W
+    positions per duplicated span and collapses in the doc-keyed
+    aggregate. At 100 TB the gram key would be ``xxhash64(gram)``
+    (64-bit fingerprints instead of strings in the exchange — dd09's
+    pattern); the oracle-compat form keeps the string so DuckDB
+    reproduces it byte-for-byte.
+    """
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), force=True)
+    toks = docs.select("doc_id", tokens().alias("t"))
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(gram_windows(F.col("t"), SPAN_W)).alias("pos", "gram"),
+    )
+    dup = (
+        spans.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    covered = (
+        spans.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SPAN_W - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").alias("dup_positions"))
+    )
+    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    cov = F.coalesce(F.col("dup_positions"), F.lit(0).cast("long"))
+    coverage = duck_round(
+        cov.cast("double") / F.col("n_tokens").cast("double"), 4
+    )
+    return base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        cov.alias("dup_positions"),
+        coverage.alias("dup_coverage"),
+        (coverage < SPAN_KEEP_MAX).alias("keep"),
     )
