@@ -109,6 +109,9 @@ HEADLINE = [
     "sim02_ann_lsh_bucketed",
     "sim02x_ann_lsh_bucketed_np",
     "tp02_resample_gapfill",
+    # PQ/ADC ANN (oracled — integer-grid distances, exact SQL twin):
+    # the compressed-scan end of the ANN ladder
+    "sim06_pq_adc",
     # distributed spherical k-means (3 Lloyd's rounds over the full
     # embedding table; rows-only — iterative, no single SQL statement)
     "sim05_kmeans_assign",

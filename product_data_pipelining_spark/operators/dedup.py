@@ -933,7 +933,7 @@ _SQL_SPAN_GRAM = " || ' ' || ".join(f"t[i+{j}]" for j in range(SPAN_W))
       FROM toks, unnest(range(1, len(t) - {SPAN_W} + 2)) AS u(i)
     ), dup AS (
       SELECT gram FROM spans GROUP BY gram
-      HAVING COUNT(DISTINCT doc_id) >= 2
+      HAVING MIN(doc_id) <> MAX(doc_id)
     ), cov AS (
       SELECT s.doc_id, COUNT(DISTINCT p) AS dup_positions
       FROM spans s JOIN dup USING (gram),
@@ -979,10 +979,12 @@ def dd12_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(gram_windows(F.col("t"), SPAN_W)).alias("pos", "gram"),
     )
+    # ">= 2 distinct docs" as min<>max: partial-aggregable min/max pairs
+    # instead of a distinct-expand on the (huge) gram key space
     dup = (
         spans.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
+        .filter(F.col("d_lo") != F.col("d_hi"))
         .select("gram")
     )
     covered = (
