@@ -851,10 +851,9 @@ def _pq_subvectors(emb: Column) -> Column:
       FROM sub s JOIN csub cs USING (m)
     ),
     enc AS (
-      SELECT vec_id, m, c AS code FROM (
-        SELECT *, row_number() OVER (
-                 PARTITION BY vec_id, m ORDER BY d6 ASC, c ASC) AS rn
-        FROM dist) WHERE rn = 1
+      SELECT vec_id, m,
+             CAST(MIN(d6 * {PQ_K} + c) % {PQ_K} AS INTEGER) AS code
+      FROM dist GROUP BY vec_id, m
     ),
     lut AS (
       SELECT vec_id AS query_id, m, c, d6 FROM dist
@@ -940,12 +939,18 @@ def sim06_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = sub_tbl.join(F.broadcast(cent_sub), "m").select(
         "vec_id", "m", "c", _scaled_long(l2).cast("long").alias("d6")
     )
-    # ENCODE: argmin per (vec, subspace) as a partial-combinable
-    # min-of-struct — never a window over the N x K candidate set
+    # ENCODE: argmin per (vec, subspace). (d6, c) packs into one BIGINT
+    # (d6 <= 4e6 on the grid — unit subvectors bound L2² by 4 — so
+    # d6*K+c is exact): a plain long MIN hash-aggregates (a min-of-
+    # STRUCT falls back to SortAggregate — a sort of the N x K
+    # candidate table), with the same smallest-d6-then-smallest-c
+    # tiebreak. Identical integer arithmetic on both engines.
     enc = (
         dist.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d6", "c")).alias("mn"))
-        .select("vec_id", "m", F.col("mn.c").alias("code"))
+        .agg(F.min(F.col("d6") * PQ_K + F.col("c")).alias("pc"))
+        .select(
+            "vec_id", "m", (F.col("pc") % PQ_K).cast("int").alias("code")
+        )
     )
     lut = dist.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), "m", "c", "d6"
