@@ -800,6 +800,15 @@ PQ_M = 16  # subspaces (embeddings are 64-wide → 4 dims each)
 PQ_SUB = 4
 PQ_K = 64  # codebook entries per subspace
 PQ_STRIDE = 7  # vec_id % PQ_STRIDE == 3 rows seed the codebooks
+# Bounded query batch (sim01's MAX_QUERY_BLOCK discipline): the test's
+# stride-derived query set otherwise grows WITH the corpus, turning
+# exhaustive ADC quadratic — the sf1 probe measured exactly that
+# (1000 queries x 50k corpus = 16.4s, 24.8x the sf0.1 time). A serving
+# layer fixes the batch size independently of corpus size; per-query
+# cost stays linear in N by design (IndexPQ is an exhaustive scan —
+# that's the contract; the 16x code compression is what it buys).
+# Covers every query at sf <= 0.1, so driver-gate values are unchanged.
+PQ_MAX_QUERIES = 128
 
 _SQL_L2 = (
     "list_sum(list_transform(range(1, len({a}) + 1), "
@@ -858,6 +867,7 @@ def _pq_subvectors(emb: Column) -> Column:
     lut AS (
       SELECT vec_id AS query_id, m, c, d6 FROM dist
       WHERE vec_id % {QUERY_STRIDE} = 0
+        AND vec_id < {QUERY_STRIDE * PQ_MAX_QUERIES}
     ),
     scored AS (
       SELECT l.query_id, e.vec_id AS neighbor_id,
@@ -952,9 +962,10 @@ def sim06_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "m", (F.col("pc") % PQ_K).cast("int").alias("code")
         )
     )
-    lut = dist.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), "m", "c", "d6"
-    )
+    lut = dist.filter(
+        (F.col("vec_id") % QUERY_STRIDE == 0)
+        & (F.col("vec_id") < QUERY_STRIDE * PQ_MAX_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "m", "c", "d6")
     scored = (
         enc.join(
             F.broadcast(lut),
