@@ -115,6 +115,10 @@ HEADLINE = [
     # distributed spherical k-means (3 Lloyd's rounds over the full
     # embedding table; rows-only — iterative, no single SQL statement)
     "sim05_kmeans_assign",
+    # the composed IVF-PQ serving shape (oracled): coarse cells bound
+    # candidates, PQ codes bound per-candidate cost — the flagship
+    # 100 TB ANN plan, timed beside its two ingredients
+    "sim07_ann_ivfpq",
     "mm02_decode_features",
 ]
 

@@ -989,3 +989,242 @@ def sim06_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sim07: IVF-PQ — the composition sim04 and sim06 both point at. Coarse
+# cells bound the candidate set (only NPROBE cells per query are
+# scanned); PQ codes bound the per-candidate cost (PQ_M table lookups
+# instead of a 64-dim dot product). This is the standard large-scale
+# ANN serving shape (FAISS IndexIVFPQ).
+
+
+@register(
+    "sim07_ann_ivfpq",
+    oracle=f"""
+    WITH raw AS (
+      SELECT vec_id, embedding,
+             {_SQL_NORM.format(a="embedding")} AS nrm
+      FROM embeddings
+    ),
+    -- coarse quantizer (sim04's): cosine to seed centroids, round 6
+    c AS (
+      SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+      FROM raw WHERE vec_id % {CENT_STRIDE} = 7
+        AND vec_id < {CENT_STRIDE * MAX_CENTROIDS}
+    ),
+    asg AS (
+      SELECT v.vec_id, c.cent_id,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY ROUND({_SQL_DOT.format(a="v.embedding", b="c.c_emb")}
+                              / (v.nrm * c.c_nrm), 6) DESC,
+                        c.cent_id ASC) AS crank
+      FROM raw v CROSS JOIN c
+    ),
+    cells AS (SELECT vec_id, cent_id AS cell FROM asg WHERE crank = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell
+      FROM asg WHERE crank <= {NPROBE}
+        AND vec_id % {QUERY_STRIDE} = 0
+        AND vec_id < {QUERY_STRIDE * PQ_MAX_QUERIES}
+    ),
+    -- PQ refine (sim06's): codes + LUT over unit vectors
+    vn AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
+               AS embedding
+      FROM raw
+    ),
+    seeds AS (
+      SELECT embedding,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS pc
+      FROM vn WHERE vec_id % {PQ_STRIDE} = 3
+        AND vec_id < {PQ_STRIDE * PQ_K}
+    ),
+    sub AS (
+      SELECT vec_id, m,
+             list_slice(embedding, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS sv
+      FROM vn, unnest(range(0, {PQ_M})) AS u(m)
+    ),
+    csub AS (
+      SELECT pc, m,
+             list_slice(embedding, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS cv
+      FROM seeds, unnest(range(0, {PQ_M})) AS u(m)
+    ),
+    dist AS (
+      SELECT s.vec_id, s.m, cs.pc,
+             {_sql_scaled_long(_SQL_L2.format(a="s.sv", b="cs.cv"))} AS d6
+      FROM sub s JOIN csub cs USING (m)
+    ),
+    enc AS (
+      SELECT vec_id, m,
+             CAST(MIN(d6 * {PQ_K} + pc) % {PQ_K} AS INTEGER) AS code
+      FROM dist GROUP BY vec_id, m
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, m, pc, d6 FROM dist
+      WHERE vec_id % {QUERY_STRIDE} = 0
+        AND vec_id < {QUERY_STRIDE * PQ_MAX_QUERIES}
+    ),
+    -- candidates: only probed cells, then ADC-score them
+    cand AS (
+      SELECT p.query_id, x.vec_id AS neighbor_id, x.cell
+      FROM probes p JOIN cells x
+        ON x.cell = p.cell AND x.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, cand.cell,
+             CAST(SUM(l.d6) AS BIGINT) AS s6
+      FROM cand
+      JOIN enc e ON e.vec_id = cand.neighbor_id
+      JOIN lut l ON l.query_id = cand.query_id
+               AND l.m = e.m AND l.pc = e.code
+      GROUP BY cand.query_id, cand.neighbor_id, cand.cell
+    )
+    SELECT query_id, neighbor_id, cell,
+           CAST(s6 AS DOUBLE) / 1e6 AS adc_dist, rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY s6 ASC, neighbor_id ASC
+             ) AS rank
+      FROM scored
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def sim07_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: coarse cells bound candidates, PQ codes bound cost.
+
+    The composition sim04 and sim06 individually document as "the
+    100 TB shape": a query probes its NPROBE nearest coarse cells
+    (sim04's quantizer — candidate count is bucket occupancy, never
+    corpus size) and scores ONLY those candidates by asymmetric
+    distance over their PQ codes (sim06's encoder — PQ_M table
+    lookups per candidate instead of a 64-float dot product, 16x
+    less scan I/O). Neither the corpus embeddings nor the candidate
+    set ever fan out: cells and codes are equi-join keys end to end.
+
+    At 100 TB, cells and codes are precomputed once and stored
+    partitioned-by-cell (write-time layout via ``io.write_table``),
+    so a probe prunes partitions at the scan and reads codes, not
+    vectors; the only per-query work is |probed cells| x PQ_M
+    integer lookups. Determinism: identical integer-grid arithmetic
+    as sim06 (exact BIGINT ADC sums) and round-6 cosine cell ranks
+    as sim04, so the full composition is SQL-oracled — DuckDB
+    reproduces every row.
+    """
+    v = _with_norm(spark, sf_dir)
+    # ---- coarse cells (sim04's assignment, unchanged semantics)
+    cents = (
+        v.filter(
+            (F.col("vec_id") % CENT_STRIDE == 7)
+            & (F.col("vec_id") < CENT_STRIDE * MAX_CENTROIDS)
+        )
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    asg_sim = duck_round(
+        cosine(F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")),
+        6,
+    )
+    narrow = v.select("vec_id", "embedding", "nrm").crossJoin(
+        F.broadcast(cents)
+    ).select("vec_id", "cent_id", asg_sim.alias("asg_sim"))
+    cell_of = (
+        narrow.groupBy("vec_id")
+        .agg(F.max(F.struct("asg_sim", (-F.col("cent_id")).alias("nc"))).alias("m"))
+        .select("vec_id", (-F.col("m.nc")).alias("cell"))
+    )
+    bounded_query = (F.col("vec_id") % QUERY_STRIDE == 0) & (
+        F.col("vec_id") < QUERY_STRIDE * PQ_MAX_QUERIES
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.desc("asg_sim"), F.asc("cent_id")
+    )
+    probes = (
+        v.filter(bounded_query)
+        .select("vec_id", "embedding", "nrm")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", asg_sim.alias("asg_sim"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    )
+    # ---- PQ codes + LUT (sim06's encoder, unchanged semantics)
+    vn = v.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / F.col("nrm")
+        ).alias("embedding"),
+    )
+    wseed = Window.orderBy("vec_id")  # codebook: <= PQ_K rows, bounded
+    seeds = (
+        vn.filter(
+            (F.col("vec_id") % PQ_STRIDE == 3)
+            & (F.col("vec_id") < PQ_STRIDE * PQ_K)
+        )
+        .withColumn("pc", (F.row_number().over(wseed) - 1).cast("int"))
+    )
+    cent_sub = seeds.select(
+        "pc", F.posexplode(_pq_subvectors(F.col("embedding"))).alias("m", "cv")
+    )
+    sub_tbl = vn.select(
+        "vec_id",
+        F.posexplode(_pq_subvectors(F.col("embedding"))).alias("m", "sv"),
+    )
+    l2 = F.aggregate(
+        F.zip_with(_dbl(F.col("sv")), _dbl(F.col("cv")), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    dist = sub_tbl.join(F.broadcast(cent_sub), "m").select(
+        "vec_id", "m", "pc", _scaled_long(l2).cast("long").alias("d6")
+    )
+    enc = (
+        dist.groupBy("vec_id", "m")
+        .agg(F.min(F.col("d6") * PQ_K + F.col("pc")).alias("packed"))
+        .select(
+            "vec_id", "m", (F.col("packed") % PQ_K).cast("int").alias("code")
+        )
+    )
+    # Renamed columns: lut and enc share dist's lineage, so joining on
+    # bare `m`/`pc` would build ambiguous self-join predicates.
+    lut = dist.filter(bounded_query).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("qm"),
+        F.col("pc").alias("qpc"),
+        F.col("d6").alias("qd6"),
+    )
+    # ---- compose: probed-cell candidates, ADC-scored
+    cells = cell_of  # (vec_id, cell) for the whole corpus
+    cand = cells.join(
+        F.broadcast(probes),
+        (cells.cell == probes.cell) & (cells.vec_id != probes.query_id),
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), cells.cell.alias("cell"))
+    scored = (
+        cand.join(enc, cand.neighbor_id == enc.vec_id)
+        .join(
+            F.broadcast(lut),
+            (cand.query_id == lut.query_id)
+            & (enc.m == lut.qm)
+            & (enc.code == lut.qpc),
+        )
+        .groupBy(cand.query_id, "neighbor_id", "cell")
+        .agg(F.sum("qd6").alias("s6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("s6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            (F.col("s6").cast("double") / F.lit(1e6)).alias("adc_dist"),
+            "rank",
+        )
+    )
