@@ -999,9 +999,10 @@ def sim06_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN serving shape (FAISS IndexIVFPQ).
 
 
-@register(
-    "sim07_ann_ivfpq",
-    oracle=f"""
+# shared CTE chain for the IVF-PQ family (sim07 ADC ranking, sim08
+# exact re-rank): coarse cells -> probes -> PQ codes/LUT -> ADC-scored
+# candidates. Ends with `scored(query_id, neighbor_id, cell, s6)`.
+_SQL_IVFPQ_CTES = f"""
     WITH raw AS (
       SELECT vec_id, embedding,
              {_SQL_NORM.format(a="embedding")} AS nrm
@@ -1082,6 +1083,13 @@ def sim06_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                AND l.m = e.m AND l.pc = e.code
       GROUP BY cand.query_id, cand.neighbor_id, cand.cell
     )
+"""
+
+
+@register(
+    "sim07_ann_ivfpq",
+    oracle=_SQL_IVFPQ_CTES
+    + f"""
     SELECT query_id, neighbor_id, cell,
            CAST(s6 AS DOUBLE) / 1e6 AS adc_dist, rank
     FROM (
@@ -1113,6 +1121,28 @@ def sim07_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     as sim06 (exact BIGINT ADC sums) and round-6 cosine cell ranks
     as sim04, so the full composition is SQL-oracled — DuckDB
     reproduces every row.
+    """
+    scored = _ivfpq_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.asc("s6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            (F.col("s6").cast("double") / F.lit(1e6)).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
+def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC-scored IVF-PQ candidates: (query_id, neighbor_id, cell, s6).
+
+    The shared engine behind sim07 (ADC ranking) and sim08 (exact
+    re-rank): coarse cells bound the candidate set, PQ codes bound the
+    per-candidate cost; every stage is an equi-join or hash aggregate.
     """
     v = _with_norm(spark, sf_dir)
     # ---- coarse cells (sim04's assignment, unchanged semantics)
@@ -1216,15 +1246,106 @@ def sim07_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(cand.query_id, "neighbor_id", "cell")
         .agg(F.sum("qd6").alias("s6"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("s6"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+    return scored
+
+
+RERANK_R = 50  # ADC candidates kept per query for the exact refine pass
+
+
+@register(
+    "sim08_ann_ivfpq_rerank",
+    oracle=_SQL_IVFPQ_CTES
+    + f"""
+    , keep AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+                 PARTITION BY query_id ORDER BY s6 ASC, neighbor_id ASC
+               ) AS adc_rank
+        FROM scored
+      ) WHERE adc_rank <= {RERANK_R}
+    ),
+    rr AS (
+      SELECT keep.query_id, keep.neighbor_id,
+             ROUND({_SQL_DOT.format(a="q.embedding", b="n.embedding")}
+                   / (q.nrm * n.nrm), 4) AS cosine_sim
+      FROM keep
+      JOIN raw q ON q.vec_id = keep.query_id
+      JOIN raw n ON n.vec_id = keep.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+             ) AS rank
+      FROM rr
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def sim08_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-ranking: the full three-stage serving plan.
+
+    Stage 1-2 are sim07's candidate engine (coarse cells prune the
+    corpus, ADC scores the survivors from PQ codes); stage 3 takes each
+    query's RERANK_R best ADC candidates — a bounded set, |queries| x
+    RERANK_R rows — and re-scores ONLY those with the exact
+    double-precision cosine (sim01's arithmetic, round-4 + vec_id
+    tiebreak), emitting the exact-metric top-k. This is the standard
+    recall-recovery step (FAISS refine / re-rank): PQ's approximation
+    decides which ~50 vectors get touched, the exact metric decides
+    the final order, so recall rises to the IVF candidate bound while
+    full-vector reads stay at RERANK_R per query instead of corpus
+    size. The candidate frame is broadcast into the corpus join —
+    executors stream embeddings past it; nothing shuffles on the big
+    side.
+    """
+    scored = _ivfpq_scored(spark, sf_dir)
+    wadc = Window.partitionBy("query_id").orderBy(
+        F.asc("s6"), F.asc("neighbor_id")
+    )
+    keep = (
+        scored.withColumn("adc_rank", F.row_number().over(wadc))
+        .filter(F.col("adc_rank") <= RERANK_R)
+        .select("query_id", "neighbor_id")
+    )
+    v = _with_norm(spark, sf_dir)
+    # bounded query block (same predicate as the probe stage) — only
+    # this side is broadcastable by contract, never the corpus
+    q = v.filter(
+        (F.col("vec_id") % QUERY_STRIDE == 0)
+        & (F.col("vec_id") < QUERY_STRIDE * PQ_MAX_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    n = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    rr = (
+        n.join(F.broadcast(keep), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            "cell",
-            (F.col("s6").cast("double") / F.lit(1e6)).alias("adc_dist"),
-            "rank",
+            duck_round(
+                cosine(
+                    F.col("q_emb"),
+                    F.col("n_emb"),
+                    F.col("q_nrm"),
+                    F.col("n_nrm"),
+                ),
+                4,
+            ).alias("cosine_sim"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )

@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "pr04_winsorize",                  # broadcast global percentile bounds
     "sim04_ann_ivf",                   # fixed centroid-set replication
     "sim07_ann_ivfpq",                 # fixed centroid-set replication (IVF coarse stage)
+    "sim08_ann_ivfpq_rerank",          # same coarse stage + bounded candidate broadcast
     "sim05_kmeans_assign",             # bounded codebook replication/round
     "chk02_outlier_zscore",            # 3-row broadcast moment re-scan
     # documented quadratic BASELINES: the oracle-exact reference twins of

@@ -737,6 +737,35 @@ def test_ivfpq_recall_vs_bruteforce_ground_truth(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
 
 
+def test_ivfpq_rerank_recovers_ivf_recall_bound(spark):
+    """The exact re-rank (sim08) must recover recall lost to PQ's
+    approximate scoring: measured 0.560 on sf0.01 — identical to
+    sim04's IVF-only recall, i.e. the candidate bound — vs sim07's
+    0.420 with ADC ranking alone. Emitted similarities are the exact
+    round-4 cosine, so every pair sim08 shares with sim01's ground
+    truth must carry the identical score."""
+    sfd = "/root/testdata/sf0.01"
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in QUERIES["sim01_ann_bruteforce_topk"].fn(spark, sfd).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim07_ann_ivfpq"].fn(spark, sfd).collect()
+    }
+    rr = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in QUERIES["sim08_ann_ivfpq_rerank"].fn(spark, sfd).collect()
+    }
+    assert exact, "ground truth empty — fixture problem"
+    recall_rr = len(set(rr) & set(exact)) / len(exact)
+    recall_adc = len(adc & set(exact)) / len(exact)
+    assert recall_rr >= 0.5, f"rerank recall = {recall_rr:.3f} < 0.5"
+    assert recall_rr >= recall_adc, (recall_rr, recall_adc)
+    for pair in set(rr) & set(exact):
+        assert rr[pair] == exact[pair], (pair, rr[pair], exact[pair])
+
+
 def test_lsh_shuffle_verify_path_matches_broadcast(spark, sf_dir):
     """The adaptive verify join (added after the sf5 probe's broadcast
     OOM) must be a physical-only choice: forcing the shuffle path
