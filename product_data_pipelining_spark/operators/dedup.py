@@ -1010,3 +1010,163 @@ def dd12_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         coverage.alias("dup_coverage"),
         (coverage < SPAN_KEEP_MAX).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dd13: semantic dedup — cluster-then-compare over document embeddings
+# (SemDeDup, Abbas et al. 2023, arXiv:2303.09540). sim03 is the exact
+# all-pairs baseline; this is its scale path: documents only ever meet
+# inside their coarse cell, so pair count is cell occupancy, never
+# corpus size.
+
+SEMDEDUP_COSINE = 0.4  # same near-dup bar as sim03's exact baseline
+
+
+def _dd13_oracle() -> str:
+    from .similarity import (
+        CENT_STRIDE,
+        MAX_CENTROIDS,
+        _SQL_DOT,
+        _SQL_NORM,
+    )
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             {_SQL_NORM.format(a="embedding")} AS nrm
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+      FROM v WHERE vec_id % {CENT_STRIDE} = 7
+        AND vec_id < {CENT_STRIDE * MAX_CENTROIDS}
+    ),
+    asg AS (
+      SELECT v.vec_id, c.cent_id, v.embedding, v.nrm,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY ROUND({_SQL_DOT.format(a="v.embedding", b="c.c_emb")}
+                              / (v.nrm * c.c_nrm), 6) DESC,
+                        c.cent_id ASC) AS crank
+      FROM v CROSS JOIN c
+    ),
+    cells AS (
+      SELECT vec_id, cent_id AS cell, embedding, nrm
+      FROM asg WHERE crank = 1
+    ),
+    pairs AS (
+      SELECT b.vec_id,
+             ROUND({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+                   / (a.nrm * b.nrm), 4) AS cos
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    dups AS (
+      SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_sem_dups
+      FROM pairs WHERE cos >= {SEMDEDUP_COSINE}
+      GROUP BY vec_id
+    )
+    SELECT d.doc_id, cells.cell, d.source,
+           COALESCE(dups.n_sem_dups, 0) AS n_sem_dups,
+           COALESCE(dups.n_sem_dups, 0) = 0 AS keep
+    FROM documents d
+    JOIN cells ON cells.vec_id = d.doc_id
+    LEFT JOIN dups ON dups.vec_id = d.doc_id
+    """
+
+
+@register("dd13_semantic_dedup", oracle=_dd13_oracle())
+def dd13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over document embeddings, cluster-then-compare.
+
+    SemDeDup's shape (arXiv:2303.09540): assign every document's
+    embedding to a coarse cell (sim04's seed-centroid quantizer,
+    round-6 cosine, cent_id tiebreak), compare pairs ONLY within a
+    cell (exact round-4 cosine), and drop the higher doc_id of any
+    pair at or above ``SEMDEDUP_COSINE`` — min-id-wins, the same
+    deterministic keep rule as dd04/dd08. Output is one row per
+    clustered document: its cell, how many kept lower-id semantic
+    twins it has, and the keep verdict.
+
+    Scale shape: the quantizer replicates a FIXED centroid set
+    (bounded by MAX_CENTROIDS — broadcast, never a shuffle); the
+    pair join is an equi-join on the cell key, so pair count is
+    sum(occupancy²) over cells, never corpus²; the verdict is a
+    partial-aggregated count keyed on doc_id. sim03 (exact all-pairs)
+    is the recall reference: within-cell comparison trades recall for
+    the equi-join exactly as dd04's LSH banding does for text — the
+    miss rate is pinned in tests/test_plans.py.
+    """
+    from .similarity import (
+        CENT_STRIDE,
+        MAX_CENTROIDS,
+        _with_norm,
+        cosine,
+    )
+
+    v = _with_norm(spark, sf_dir)
+    cents = (
+        v.filter(
+            (F.col("vec_id") % CENT_STRIDE == 7)
+            & (F.col("vec_id") < CENT_STRIDE * MAX_CENTROIDS)
+        )
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    asg_sim = duck_round(
+        cosine(
+            F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")
+        ),
+        6,
+    )
+    cells = (
+        v.select("vec_id", "embedding", "nrm")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "nrm", "cent_id", asg_sim.alias("s"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct("s", (-F.col("cent_id")).alias("nc"))
+            ).alias("m"),
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select("vec_id", (-F.col("m.nc")).alias("cell"), "embedding", "nrm")
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    pair_cos = duck_round(
+        cosine(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            F.col("a.nrm"),
+            F.col("b.nrm"),
+        ),
+        4,
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(pair_cos >= SEMDEDUP_COSINE)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_sem_dups"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    n_dups = F.coalesce(F.col("n_sem_dups"), F.lit(0).cast("long"))
+    return (
+        docs.join(cells, docs.doc_id == cells.vec_id)
+        .join(dups, cells.vec_id == dups.vec_id, "left")
+        .select(
+            "doc_id",
+            "cell",
+            "source",
+            n_dups.alias("n_sem_dups"),
+            (n_dups == 0).alias("keep"),
+        )
+    )

@@ -42,6 +42,7 @@ BNLJ_ALLOWED = {
     "sim04_ann_ivf",                   # fixed centroid-set replication
     "sim07_ann_ivfpq",                 # fixed centroid-set replication (IVF coarse stage)
     "sim08_ann_ivfpq_rerank",          # same coarse stage + bounded candidate broadcast
+    "dd13_semantic_dedup",             # fixed centroid-set replication (coarse quantizer)
     "sim05_kmeans_assign",             # bounded codebook replication/round
     "chk02_outlier_zscore",            # 3-row broadcast moment re-scan
     # documented quadratic BASELINES: the oracle-exact reference twins of

@@ -737,6 +737,30 @@ def test_ivfpq_recall_vs_bruteforce_ground_truth(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
 
 
+def test_semantic_dedup_subset_of_exact_baseline(spark):
+    """dd13's within-cell comparison is exact, so every document it
+    flags must also be flagged by sim03's all-pairs baseline at the
+    same threshold (precision 1.0 by construction — this asserts the
+    cell assignment didn't corrupt the pair semantics). Recall is the
+    coarse-quantizer tradeoff: measured 0.340 on sf0.01 (18/53 docs —
+    synthetic embeddings have weak cluster structure, the worst case
+    for cluster-then-compare), floor 0.25."""
+    sfd = "/root/testdata/sf0.01"
+    exact_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["sim03_embedding_neardup_pairs"].fn(spark, sfd).collect()
+    }
+    exact_flagged = {b for (_, b) in exact_pairs}
+    rows = QUERIES["dd13_semantic_dedup"].fn(spark, sfd).collect()
+    flagged = {r["doc_id"] for r in rows if not r["keep"]}
+    assert exact_flagged, "baseline flagged nothing — fixture problem"
+    assert flagged <= exact_flagged, flagged - exact_flagged
+    recall = len(flagged) / len(exact_flagged)
+    assert recall >= 0.25, f"semantic-dedup doc recall = {recall:.3f} < 0.25"
+    # one row per clustered document, keep consistent with the count
+    assert all((r["n_sem_dups"] == 0) == r["keep"] for r in rows)
+
+
 def test_ivfpq_rerank_recovers_ivf_recall_bound(spark):
     """The exact re-rank (sim08) must recover recall lost to PQ's
     approximate scoring: measured 0.560 on sf0.01 — identical to
