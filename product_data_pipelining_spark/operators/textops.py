@@ -726,3 +726,104 @@ def tx12_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sl).cast("long").alias("n_chunk_tokens"),
         F.array_join(sl, " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tx13: corpus-trained unigram LM quality score — the CCNet-style
+# language-model perplexity proxy (Wenzek et al. 2020, CCNet): score
+# each document by the mean log-probability of its tokens under a
+# unigram model fitted on the corpus itself. Rare-token-heavy (noisy)
+# documents score low; the keep gate drops the low tail.
+
+TX13_KEEP_MIN = -3.42  # avg-logprob floor (drops the bottom ~decile here)
+TX13_HIGH_MIN = -3.40  # bucket boundary: 'high' at/above the median band
+
+from ..functions.rounding import _scaled_long, _sql_scaled_long  # noqa: E402
+
+
+@register(
+    "tx13_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_sql_tokens()}) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+    lp AS (
+      SELECT tok,
+             {_sql_scaled_long("ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))")}
+               AS d6
+      FROM freq, tot
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(d6) AS BIGINT) AS s6
+      FROM toks JOIN lp USING (tok) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(s6 AS DOUBLE) / 1e6 / n_tokens, 4) AS avg_logprob,
+           CASE WHEN ROUND(CAST(s6 AS DOUBLE) / 1e6 / n_tokens, 4)
+                     >= {TX13_HIGH_MIN} THEN 'high'
+                WHEN ROUND(CAST(s6 AS DOUBLE) / 1e6 / n_tokens, 4)
+                     >= {TX13_KEEP_MIN} THEN 'mid'
+                ELSE 'low' END AS lm_bucket,
+           ROUND(CAST(s6 AS DOUBLE) / 1e6 / n_tokens, 4)
+             >= {TX13_KEEP_MIN} AS keep
+    FROM agg
+    """,
+)
+def tx13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: mean token log-probability per doc.
+
+    The CCNet-style LM filter with the LM fitted in-pipeline: token
+    frequencies over the corpus define p(tok) = cnt/total; each
+    document scores avg(ln p(tok)) over its token INSTANCES, so
+    documents dominated by rare/noisy tokens sink. ``lm_bucket``
+    (high/mid/low) and ``keep`` gate on fixed avg-logprob thresholds.
+
+    Determinism: per-token-type log-probs land on the 1e-6 integer
+    grid (``_scaled_long`` — one value per vocab entry, computed once)
+    and per-doc sums are exact BIGINT adds, so token order and
+    partitioning can't perturb the mean; the only float ops both
+    engines must agree on are one IEEE division and one ``ln`` per
+    VOCAB TYPE, not per token instance.
+
+    Scale shape: the frequency table is vocabulary-bounded (tiny next
+    to the corpus — broadcast into the instance join), the total is a
+    one-row broadcast replication, and the per-doc aggregate is a
+    partial-aggregated count+sum keyed on doc_id. One shuffle each on
+    tok (fit) and doc_id (score); document text never moves twice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    lp = freq.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        _scaled_long(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+        ).alias("d6"),
+    )
+    agg = (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("d6").alias("s6"),
+        )
+    )
+    avg = duck_round(
+        F.col("s6").cast("double") / F.lit(1e6) / F.col("n_tokens"), 4
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        avg.alias("avg_logprob"),
+        F.when(avg >= TX13_HIGH_MIN, F.lit("high"))
+        .when(avg >= TX13_KEEP_MIN, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("lm_bucket"),
+        (avg >= TX13_KEEP_MIN).alias("keep"),
+    )

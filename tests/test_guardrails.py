@@ -43,6 +43,7 @@ BNLJ_ALLOWED = {
     "sim07_ann_ivfpq",                 # fixed centroid-set replication (IVF coarse stage)
     "sim08_ann_ivfpq_rerank",          # same coarse stage + bounded candidate broadcast
     "dd13_semantic_dedup",             # fixed centroid-set replication (coarse quantizer)
+    "tx13_unigram_logprob",            # one-row corpus-total replication
     "sim05_kmeans_assign",             # bounded codebook replication/round
     "chk02_outlier_zscore",            # 3-row broadcast moment re-scan
     # documented quadratic BASELINES: the oracle-exact reference twins of
