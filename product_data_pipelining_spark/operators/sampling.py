@@ -384,3 +384,69 @@ def smp07_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", key.alias("shuffle_key")).orderBy(
         "shuffle_key"
     )
+
+
+# ---------------------------------------------------------------------------
+# smp08: deterministic WEIGHTED sampling without replacement
+# (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+# reservoir" — the exponential-clocks formulation). smp03 is the
+# uniform case; here longer documents (weight = n_chars) are
+# proportionally more likely to survive, the standard length-weighted
+# selection for token-budgeted training mixes.
+
+SMP08_K = 100
+_HEX_W = 12  # 48 bits of md5 -> u in (0,1), portable across engines
+
+
+@register(
+    "smp08_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             CAST(FLOOR(
+               -ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, {_HEX_W}) AS BIGINT)
+                         AS DOUBLE) + 1.0) / {float(16 ** _HEX_W) + 1.0})
+               / CAST(n_chars AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS priority
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, priority
+    FROM keyed
+    ORDER BY priority, doc_id
+    LIMIT {SMP08_K}
+    """,
+)
+def smp08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement via deterministic hash clocks.
+
+    Efraimidis-Spirakis exponential-clocks: every row draws a uniform
+    u from 48 bits of md5(doc_id) and races with clock -ln(u)/weight;
+    the SMP08_K smallest clocks win, so inclusion probability scales
+    with weight (n_chars — length-weighted selection) while membership
+    stays a pure function of the row: same sample on any engine,
+    partitioning, or cluster size. Clocks land on a 1e-9 integer grid
+    (FLOOR(x*1e9+0.5) as BIGINT on both engines) so the cross-engine
+    float comparison at the cut boundary is exact; residual grid ties
+    break on doc_id identically on both sides.
+
+    Scale shape: the clock is map-side arithmetic riding the scan, and
+    the sort+limit executes as TakeOrderedAndProject — each partition
+    keeps a local top-k and one k-by-partitions merge finishes. No
+    global sort, no shuffle of the corpus, same plan at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, _HEX_W),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**_HEX_W) + 1.0)
+    clock = -F.log(u) / F.col("n_chars").cast("double")
+    priority = F.floor(clock * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        docs.select("doc_id", "source", "n_chars", priority.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(SMP08_K)
+    )

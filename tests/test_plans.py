@@ -737,6 +737,27 @@ def test_ivfpq_recall_vs_bruteforce_ground_truth(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
 
 
+def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
+    """smp08's exponential clocks must actually weight: the sampled
+    docs' mean n_chars exceeds the corpus mean (measured 344 vs 306 at
+    sf0.001, 334 vs 298 at sf0.01 — deterministic, hash-driven), and
+    the sample is exactly SMP08_K rows ordered by the clock grid."""
+    from product_data_pipelining_spark.operators.sampling import SMP08_K
+
+    corpus_mean = (
+        QUERIES["tx01_token_count"]
+        .fn(spark, sf_dir)
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    rows = QUERIES["smp08_weighted_sample"].fn(spark, sf_dir).collect()
+    assert len(rows) == SMP08_K
+    samp_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    assert samp_mean > corpus_mean, (samp_mean, corpus_mean)
+    pri = [(r["priority"], r["doc_id"]) for r in rows]
+    assert pri == sorted(pri)
+
+
 def test_semantic_dedup_subset_of_exact_baseline(spark):
     """dd13's within-cell comparison is exact, so every document it
     flags must also be flagged by sim03's all-pairs baseline at the
