@@ -410,3 +410,113 @@ def a20_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# pr05: full pairwise correlation matrix over the numeric lineitem
+# measures — the profiling surface pandas users know as df.corr(),
+# computed from ONE exact-decimal power-sum aggregation (pr02's
+# determinism contract, widened from a single hand-picked pair to
+# every pair).
+
+_PR05_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_PR05_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_PR05_COLS)
+    for b in _PR05_COLS[i + 1 :]
+]
+
+
+def _pr05_oracle() -> str:
+    sums = ",\n         ".join(
+        [f"SUM(CAST({c} AS DECIMAL(12,2))) AS s_{c}" for c in _PR05_COLS]
+        + [
+            f"SUM(CAST({a} AS DECIMAL(12,2)) * CAST({b} AS DECIMAL(12,2)))"
+            f" AS s_{a}_{b}"
+            for a in _PR05_COLS
+            for b in _PR05_COLS
+            if a <= b
+        ]
+    )
+    def corr(a: str, b: str) -> str:
+        n = "CAST(n AS DOUBLE)"
+        sx, sy = f"CAST(s_{a} AS DOUBLE)", f"CAST(s_{b} AS DOUBLE)"
+        sxx, syy = f"CAST(s_{a}_{a} AS DOUBLE)", f"CAST(s_{b}_{b} AS DOUBLE)"
+        key = f"s_{a}_{b}" if a <= b else f"s_{b}_{a}"
+        sxy = f"CAST({key} AS DOUBLE)"
+        return (
+            f"ROUND(({n} * {sxy} - {sx} * {sy})"
+            f" / (sqrt({n} * {sxx} - {sx} * {sx})"
+            f" * sqrt({n} * {syy} - {sy} * {sy})), 6)"
+        )
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, n, {corr(a, b)} AS corr"
+        " FROM sums"
+        for a, b in _PR05_PAIRS
+    )
+    return f"""
+    WITH sums AS (
+      SELECT COUNT(*) AS n,
+         {sums}
+      FROM lineitem
+    )
+    {arms}
+    """
+
+
+@register("pr05_correlation_matrix", oracle=_pr05_oracle())
+def pr05_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix (unpivoted) over the lineitem measures.
+
+    One map-side-combined global aggregation collects every power sum
+    (4 sums, 4 sums-of-squares, 6 cross sums, all exact DECIMAL — the
+    associative, order-independent representation), then the one-row
+    result explodes into the 6 (col_x, col_y, corr) pairs with the
+    textbook finish in doubles. Identical finishing arithmetic on both
+    engines means bit-for-bit parity, which ``F.corr`` (a float
+    accumulator whose result depends on partition merge order) cannot
+    promise. Scale shape: a single exchange of ~15 decimal cells —
+    the corpus streams through the partial aggregate once; adding
+    columns grows the aggregate width quadratically but never adds a
+    shuffle or a pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = {c: F.col(c).cast("decimal(12,2)") for c in _PR05_COLS}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(dec[c]).alias(f"s_{c}") for c in _PR05_COLS]
+    aggs += [
+        F.sum(dec[a] * dec[b]).alias(f"s_{a}_{b}")
+        for a in _PR05_COLS
+        for b in _PR05_COLS
+        if a <= b
+    ]
+    sums = li.agg(*aggs)
+
+    def corr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sx, sy = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sxx = F.col(f"s_{a}_{a}").cast("double")
+        syy = F.col(f"s_{b}_{b}").cast("double")
+        key = f"s_{a}_{b}" if a <= b else f"s_{b}_{a}"
+        sxy = F.col(key).cast("double")
+        return duck_round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").alias("n"),
+                corr(a, b).alias("corr"),
+            )
+            for a, b in _PR05_PAIRS
+        ]
+    )
+    return sums.select(F.explode(pairs).alias("p")).select(
+        "p.col_x", "p.col_y", "p.n", "p.corr"
+    )
