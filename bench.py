@@ -119,6 +119,12 @@ HEADLINE = [
     # candidates, PQ codes bound per-candidate cost — the flagship
     # 100 TB ANN plan, timed beside its two ingredients
     "sim07_ann_ivfpq",
+    # + exact re-rank of the ADC top-50 (oracled): the recall-recovery
+    # stage; full-vector reads stay bounded per query
+    "sim08_ann_ivfpq_rerank",
+    # semantic dedup, cluster-then-compare (oracled): the SemDeDup
+    # scale path — pair count is cell occupancy, never corpus^2
+    "dd13_semantic_dedup",
     "mm02_decode_features",
 ]
 
