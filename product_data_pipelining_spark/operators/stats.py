@@ -520,3 +520,55 @@ def pr05_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(F.explode(pairs).alias("p")).select(
         "p.col_x", "p.col_y", "p.n", "p.corr"
     )
+
+
+# ---------------------------------------------------------------------------
+# a21: theta-sketch audience overlap — the SET-ALGEBRA sketch tier.
+# a20's HLL answers "how many distinct", but HLL cannot intersect; a
+# Datasketches THETA sketch supports union/intersection/difference, so
+# per-segment sketches built once answer every pairwise overlap
+# question ("users who did BOTH purchase AND refund") from
+# output-sized rows, never a raw re-scan per pair.
+
+
+@register("a21_theta_audience_overlap", oracle=None)  # sketch estimates
+# are implementation-defined within the theta error envelope; the
+# contract vs exact pairwise intersections is pinned in test_plans.py
+def a21_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user overlap between event types via theta.
+
+    One pass over raw events builds a theta sketch of user_id per
+    event_type (map-side-combinable, bounded state per group — the
+    same shuffle shape as any group-agg). The pairwise stage then
+    operates ONLY on the per-type sketch table (|types|^2 rows, bytes
+    each): intersection estimates the co-audience, union feeds the
+    Jaccard denominator. At 100 TB the sketch table is thousands of
+    rows against terabytes of raw events, and any new segment-overlap
+    question is answered without touching the raw table again —
+    exactly the mergeability win a20 documents for counts, extended
+    to set algebra HLL cannot express.
+    """
+    from ..io import load_events
+
+    ev = load_events(spark, sf_dir)
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+    inter = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("a.sk"), F.col("b.sk"))
+    )
+    union = F.theta_sketch_estimate(
+        F.theta_union(F.col("a.sk"), F.col("b.sk"))
+    )
+    return pairs.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        inter.alias("est_overlap"),
+        union.alias("est_union"),
+        duck_round(
+            inter.cast("double") / union.cast("double"), 4
+        ).alias("est_jaccard"),
+    ).orderBy("type_a", "type_b")

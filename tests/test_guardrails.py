@@ -44,6 +44,7 @@ BNLJ_ALLOWED = {
     "sim08_ann_ivfpq_rerank",          # same coarse stage + bounded candidate broadcast
     "dd13_semantic_dedup",             # fixed centroid-set replication (coarse quantizer)
     "tx13_unigram_logprob",            # one-row corpus-total replication
+    "a21_theta_audience_overlap",      # |event_types|^2 sketch-table self-pair
     "sim05_kmeans_assign",             # bounded codebook replication/round
     "chk02_outlier_zscore",            # 3-row broadcast moment re-scan
     # documented quadratic BASELINES: the oracle-exact reference twins of

@@ -921,6 +921,43 @@ def test_hll_sketch_rollup_tracks_exact_distinct(spark, sf_dir):
         assert abs(est - exact[t]) <= tol, (t, est, exact[t])
 
 
+def test_theta_overlap_tracks_exact_intersections(spark, sf_dir):
+    """a21: the theta intersection/union estimates must sit inside the
+    sketch error envelope of the exact pairwise distinct-user overlaps
+    (default lgK=12 theta: ~3% relative at these cardinalities; allow
+    5% or an absolute slack of 2), and est_jaccard must equal the
+    round-4 ratio of the emitted estimates."""
+    from product_data_pipelining_spark.io import load_events
+
+    rows = QUERIES["a21_theta_audience_overlap"].fn(spark, sf_dir).collect()
+    assert rows, "no event-type pairs — fixture problem"
+    users = {
+        t: {
+            r["user_id"]
+            for r in load_events(spark, sf_dir)
+            .filter(F.col("event_type") == t)
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        for t in {x for r in rows for x in (r["type_a"], r["type_b"])}
+    }
+    for r in rows:
+        ex_i = len(users[r["type_a"]] & users[r["type_b"]])
+        ex_u = len(users[r["type_a"]] | users[r["type_b"]])
+        assert abs(r["est_overlap"] - ex_i) <= max(0.05 * ex_i, 2), (
+            r["type_a"], r["type_b"], r["est_overlap"], ex_i,
+        )
+        assert abs(r["est_union"] - ex_u) <= max(0.05 * ex_u, 2), (
+            r["type_a"], r["type_b"], r["est_union"], ex_u,
+        )
+        assert r["est_jaccard"] == round(
+            float(r["est_overlap"]) / float(r["est_union"]), 4
+        ) or abs(
+            r["est_jaccard"] - float(r["est_overlap"]) / float(r["est_union"])
+        ) < 1e-9
+
+
 def test_sim02x_numpy_twin_frame_equals_sim02(spark, sf_dir):
     """sim02x (Arrow/numpy scoring) must reproduce the oracled sim02
     frame exactly: same buckets/candidates/rounding/ranking, only the
