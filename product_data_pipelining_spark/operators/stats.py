@@ -572,3 +572,68 @@ def a21_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             inter.cast("double") / union.cast("double"), 4
         ).alias("est_jaccard"),
     ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# a22: KLL quantile-sketch rollup — the mergeable-quantiles tier that
+# completes the Datasketches trio (a20 HLL counts, a21 theta sets,
+# here KLL distributions). Exact percentiles (a03) sort n log n per
+# query; a per-(flag, month) KLL sketch is built once and ANY coarser
+# grain's quantiles come from merging output-sized sketch rows.
+
+_KLL_K = 1024  # sketch size: ~1.3% worst-case rank error at this k
+
+
+@register("a22_kll_quantile_rollup", oracle=None)  # sketch estimates
+# are implementation-defined within the KLL rank-error bound; the
+# contract vs exact per-flag percentiles is pinned in test_plans.py
+def a22_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly KLL sketches of l_extendedprice → per-flag quantiles.
+
+    The 100 TB distribution-serving pattern: the monthly load appends
+    one (flag, month) KLL sketch row (map-side-combinable, O(k log n)
+    state), and dashboards answer any quantile at any grain by merging
+    sketches — never re-sorting raw rows. This query materializes the
+    monthly tier and rolls it to per-flag p25/p50/p75/p95; the same
+    ``kll_sketch_merge_double`` serves yearly or global grains from
+    the identical rows. Rank error is bounded by the sketch parameter
+    (k=1024 → ~1.3%), asserted against exact sort-based percentiles
+    in tests; estimates are not SQL-reproducible in DuckDB, hence
+    rows-only.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_returnflag",
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month"),
+    ).agg(
+        F.kll_sketch_agg_double("l_extendedprice", F.lit(_KLL_K)).alias("sk")
+    )
+    # kll_sketch_merge_double is a binary scalar (no aggregate form in
+    # Spark 4.1), so the rollup collects the per-flag sketch list —
+    # bounded at |months| rows of ~k doubles each — and folds it with
+    # the HOF reduce; still one exchange, still output-sized state.
+    merged = (
+        monthly.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_months"),
+            F.collect_list("sk").alias("sks"),
+        )
+        .select(
+            "l_returnflag",
+            "n_months",
+            F.reduce(
+                F.slice(F.col("sks"), 2, F.size("sks") - 1),
+                F.element_at(F.col("sks"), 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("sk"),
+        )
+    )
+    q = lambda p: F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(p))
+    return merged.select(
+        "l_returnflag",
+        "n_months",
+        q(0.25).alias("est_p25"),
+        q(0.50).alias("est_p50"),
+        q(0.75).alias("est_p75"),
+        q(0.95).alias("est_p95"),
+    ).orderBy("l_returnflag")

@@ -958,6 +958,41 @@ def test_theta_overlap_tracks_exact_intersections(spark, sf_dir):
         ) < 1e-9
 
 
+def test_kll_rollup_inside_rank_error_envelope(spark, sf_dir):
+    """a22: each merged-sketch quantile must land between the exact
+    quantiles at rank ± 0.03 (k=1024 KLL guarantees ~1.3% rank error;
+    3% allows the monthly-merge accumulation) — the rank-error
+    contract, not a value tolerance, because KLL bounds ranks."""
+    rows = QUERIES["a22_kll_quantile_rollup"].fn(spark, sf_dir).collect()
+    assert rows
+    eps = 0.03
+    qs = (0.25, 0.50, 0.75, 0.95)
+    bounds_expr = [
+        F.expr(
+            f"percentile(l_extendedprice, {max(q - eps, 0.0)})"
+        ).alias(f"lo{int(q*100)}")
+        for q in qs
+    ] + [
+        F.expr(
+            f"percentile(l_extendedprice, {min(q + eps, 1.0)})"
+        ).alias(f"hi{int(q*100)}")
+        for q in qs
+    ]
+    exact = {
+        r["l_returnflag"]: r.asDict()
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(*bounds_expr)
+        .collect()
+    }
+    for r in rows:
+        e = exact[r["l_returnflag"]]
+        for q in qs:
+            est = r[f"est_p{int(q*100)}"]
+            lo, hi = e[f"lo{int(q*100)}"], e[f"hi{int(q*100)}"]
+            assert lo <= est <= hi, (r["l_returnflag"], q, est, lo, hi)
+
+
 def test_sim02x_numpy_twin_frame_equals_sim02(spark, sf_dir):
     """sim02x (Arrow/numpy scoring) must reproduce the oracled sim02
     frame exactly: same buckets/candidates/rounding/ranking, only the
