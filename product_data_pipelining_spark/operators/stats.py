@@ -637,3 +637,93 @@ def a22_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(0.75).alias("est_p75"),
         q(0.95).alias("est_p95"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# chk03: robust outlier audit — the median/MAD twin of chk02. Mean/std
+# z-scores (chk02) are themselves dragged by the outliers they hunt;
+# the modified z-score 0.6745*(x - median)/MAD (Iglewicz & Hoaglin
+# 1993) keeps its calibration under heavy tails, the standard audit
+# for skewed pipeline metrics.
+
+CHK03_CUT = 3.5  # Iglewicz-Hoaglin recommended modified-z threshold
+
+
+@register(
+    "chk03_outlier_robust_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    mad AS (
+      SELECT l.l_returnflag,
+             quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+      GROUP BY l.l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN abs(0.6745 * (l.l_extendedprice - m.med)
+                                  / d.mad) > {CHK03_CUT}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(m.med, 2) AS median_price,
+           ROUND(d.mad, 2) AS mad_price
+    FROM lineitem l
+    JOIN med m ON l.l_returnflag = m.l_returnflag
+    JOIN mad d ON l.l_returnflag = d.l_returnflag
+    GROUP BY l.l_returnflag, m.med, d.mad
+    """,
+)
+def chk03_outlier_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modified-z outlier counts per flag from exact median + MAD.
+
+    Two exact-percentile passes (median, then median absolute
+    deviation) and one counting re-scan — each a single exchange,
+    with the 3-row parameter frames broadcast back onto the fact
+    scan, the same replication pattern chk02/pr04 document. Exact
+    interpolated percentiles carry the a03 cross-engine parity
+    contract, so the flagged counts are deterministic; at 100 TB the
+    two percentile passes swap to the KLL sketch tier (a22) with the
+    re-scan unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    mad = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "med")  # med is constant per flag
+        .agg(
+            F.expr(
+                "percentile(abs(l_extendedprice - med), 0.5)"
+            ).alias("mad")
+        )
+        .select("l_returnflag", "mad")
+    )
+    rz = F.abs(
+        F.lit(0.6745)
+        * (F.col("l_extendedprice") - F.col("med"))
+        / F.col("mad")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(rz > CHK03_CUT, 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "n_outliers",
+            duck_round(F.col("med"), 2).alias("median_price"),
+            duck_round(F.col("mad"), 2).alias("mad_price"),
+        )
+    )

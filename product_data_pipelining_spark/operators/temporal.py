@@ -360,3 +360,78 @@ def tp02_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_value").isNotNull().alias("observed"),
         F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "tp03_ohlc_bars",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS bar_hour,
+             value,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+      FROM events
+    )
+    SELECT event_type,
+           CAST(bar_hour AS VARCHAR) AS bar_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_det_sum("value")} AS volume,
+           arg_min(value, ord_key) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ord_key) AS close
+    FROM keyed
+    GROUP BY event_type, bar_hour
+    """,
+)
+def tp03_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the telemetry/market rollup.
+
+    open/high/low/close + volume per (type, hour): the standard
+    downsampling that turns a raw event stream into chartable bars.
+    First/last are ``min_by``/``max_by`` on a packed fixed-width
+    (micros-rendered ts, event_id) string key — a PARTIAL-AGGREGABLE
+    arg-min/arg-max, so the whole bar computes in one exchange with
+    map-side combine and no per-key sort window (the naive
+    row_number-rank formulation shuffles AND sorts every partition).
+    The packed key makes first/last deterministic under same-timestamp
+    ties on both engines; open/high/low/close carry raw stored doubles
+    (no arithmetic — exact cross-engine equality), and volume is the
+    order-independent decimal-accumulated ``det_sum``.
+
+    Scale shape: identical to any group-agg — one exchange on
+    (type, hour), state per group is five scalars; 100 TB of events
+    roll up map-side before the shuffle moves anything.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # fixed-width micros-precision render: identical strings on both
+    # engines, lexicographic == chronological, timezone-free (ts is
+    # TIMESTAMP_NTZ — unix_micros would need a session-tz cast)
+    ord_key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    keyed = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bar_hour"),
+        "value",
+        ord_key.alias("ord_key"),
+    )
+    return keyed.groupBy("event_type", "bar_hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        det_sum("value").alias("volume"),
+        F.min_by("value", "ord_key").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ord_key").alias("close"),
+    ).select(
+        "event_type",
+        F.col("bar_hour").cast("string").alias("bar_hour"),
+        "n_events",
+        "volume",
+        "open",
+        "high",
+        "low",
+        "close",
+    )

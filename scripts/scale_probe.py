@@ -76,31 +76,44 @@ def run_correctness(sf_dir: str) -> dict:
         os.environ.get("SPARK_GRAFT_CPUS", "32")
     ))
     con = duckdb.connect()
+    # cap DuckDB beside the live Spark JVM and let heavy oracles spill
+    # to disk instead of OOM-ing the whole probe
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TPCH_TABLES:
         con.execute(duck_view_sql(sf_dir, t))
 
     results: dict[str, str] = {}
     for name in HEADLINE:
         spec = specs[name]
-        df = spec.fn(spark, sf_dir)
-        if spec.oracle is None:
-            results[name] = f"rows_only:{df.count()}"
-            continue
-        n = df.count()
-        want_n = con.execute(
-            f"SELECT COUNT(*) FROM ({spec.oracle})"
-        ).fetchone()[0]
-        if n > MAX_COMPARE_ROWS:
-            results[name] = (
-                f"rowcount_only:{n}" if n == want_n
-                else f"ROWCOUNT_MISMATCH:{n}!={want_n}"
+        try:
+            df = spec.fn(spark, sf_dir)
+            if spec.oracle is None:
+                results[name] = f"rows_only:{df.count()}"
+                continue
+            n = df.count()
+            want_n = con.execute(
+                f"SELECT COUNT(*) FROM ({spec.oracle})"
+            ).fetchone()[0]
+            if n > MAX_COMPARE_ROWS:
+                results[name] = (
+                    f"rowcount_only:{n}" if n == want_n
+                    else f"ROWCOUNT_MISMATCH:{n}!={want_n}"
+                )
+                continue
+            if n != want_n:
+                results[name] = f"ROWCOUNT_MISMATCH:{n}!={want_n}"
+                continue
+            ok, reason = frames_match(
+                df.toPandas(), con.execute(spec.oracle).df()
             )
-            continue
-        if n != want_n:
-            results[name] = f"ROWCOUNT_MISMATCH:{n}!={want_n}"
-            continue
-        ok, reason = frames_match(df.toPandas(), con.execute(spec.oracle).df())
-        results[name] = "match" if ok else f"MISMATCH:{reason}"
+            results[name] = "match" if ok else f"MISMATCH:{reason}"
+        except Exception as exc:  # noqa: BLE001 — one query's resource
+            # blow-up (DuckDB OOM running a heavyweight oracle next to
+            # the live JVM) must not lose the whole artifact; record it
+            # honestly and move on. MISMATCH stays a loud string the
+            # summary counts; check_error does too.
+            results[name] = f"check_error:{type(exc).__name__}"
     con.close()
     return results
 
@@ -154,11 +167,15 @@ def main() -> None:
             "data; exact-percentile a03 runs at ~n log n by design."
         ),
     }
-    if not args.no_check:
-        artifact["correctness_at_scale"] = run_correctness(big_dir)
-
+    # Write the bench results BEFORE the correctness stage: the benches
+    # are ~an hour of wall-clock at sf5+, and a crash in the at-scale
+    # oracle re-check (e.g. DuckDB OOM beside a live Spark JVM) must
+    # not lose them. The file is rewritten with the extra key after.
     out_path = REPO / f"BENCH_SF{sf_label}.json"
     out_path.write_text(json.dumps(artifact, indent=2) + "\n")
+    if not args.no_check:
+        artifact["correctness_at_scale"] = run_correctness(big_dir)
+        out_path.write_text(json.dumps(artifact, indent=2) + "\n")
     summary = {"artifact": out_path.name,
                "worst_scaling": artifact["worst_scaling"],
                "big_ratio_vs_duckdb": big["ratio_vs_duckdb"],
