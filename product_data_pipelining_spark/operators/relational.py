@@ -1267,3 +1267,65 @@ def o02_limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+@register(
+    "ev07_interarrival_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, ts,
+             lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_ts
+      FROM events
+    ),
+    d AS (
+      SELECT event_type,
+             date_diff('microsecond', prev_ts, ts) AS gap_us
+      FROM g WHERE prev_ts IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_us / 1e6, 0.5), 3) AS p50_gap_s,
+           ROUND(quantile_cont(gap_us / 1e6, 0.95), 3) AS p95_gap_s,
+           ROUND(MAX(gap_us) / 1e6, 3) AS max_gap_s
+    FROM d GROUP BY event_type
+    """,
+)
+def ev07_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap percentiles by event type.
+
+    THE calibration query for stream-processing parameters: ev02's
+    session gap and the streaming twins' watermarks are guesses until
+    you measure how long users actually go quiet — p50/p95/max of the
+    time between a user's consecutive events, attributed to the type
+    of the later event. One window pass partitioned on ``user_id``
+    (the same single shuffle ev02 documents — a user's history fits a
+    partition at any corpus size), then an aggregate keyed on the
+    handful of event types. Gaps are exact microsecond integers
+    (``timestampdiff`` on both engines — no timezone cast on the NTZ
+    column); percentiles carry the a03 interpolated-exact parity
+    contract.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).filter(F.col("prev_ts").isNotNull())
+    d = g.select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").alias("gap_us"),
+    )
+    gap_s = F.col("gap_us") / F.lit(1e6)
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        duck_round(F.expr("percentile(gap_us / 1e6, 0.5)"), 3).alias(
+            "p50_gap_s"
+        ),
+        duck_round(F.expr("percentile(gap_us / 1e6, 0.95)"), 3).alias(
+            "p95_gap_s"
+        ),
+        duck_round(F.max("gap_us") / F.lit(1e6), 3).alias("max_gap_s"),
+    )
