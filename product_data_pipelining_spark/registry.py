@@ -89,7 +89,7 @@ _DRIVER_PRIORITY = [
     # sources, upserts, flattening, SQL catalog (S2-S10)
     "s05_upsert_last_writer_wins",
     "s06_merge_upsert",
-    "s09_first_seen_dedup",
+    # S9 first-seen dedup is driver-proxied by s02_s09 below
     "s02_s09_flatten_locations",
     "s07a_flatten_products",
     "s07b_flatten_prices",
@@ -105,29 +105,26 @@ _DRIVER_PRIORITY = [
     "m09_mart_price_by_category",
     # pre-agg row predicate (P11) + re-agg proxy
     "d04_state_price_summary",
-    # named projection / filter operators (P4-P10; P4/P5 and P7 are
-    # driver-proxied by m03/m02 — their named twins run in the local
-    # oracle-parity sweep, freeing rows for bench headliners below)
-    "p06_try_cast_safe_date",
+    # named projection / filter operators (P4-P10; P4/P5, P6 and P7
+    # are driver-proxied by m03/m03/m02 — their named twins run in the
+    # local oracle-parity sweep, freeing rows for bench headliners)
     "p10_date_range_predicate",
     # joins (J1-J3)
     "j01_left_join_star_enrich",
     "j02_inner_join_agg_cte",
     "j03_left_join_recover_attr",
-    # aggregations (A1-A13; A1 driver-proxied by m07)
-    "a02_conditional_distinct_counts",
+    # aggregations (A1-A13; A1/A2/A9/A10 driver-proxied by
+    # m07/m08/d04/m05)
     "a03_percentile_summary",
     "a04_group_having_order",
     "a05_a06_filtered_avg_conditional_count",
     "a07_two_key_frequency",
     "a08_global_minmax",
-    "a09_regroup_sum",
-    "a10_distinct_dedup",
     "a11_share_of_group_window",
     "a12_a13_median_by_group",
-    # set ops (§2.7) and ordering/paging (O2, O5)
+    # set ops (§2.7) and paging (O5; O2 multi-key sort is
+    # driver-proxied by m09)
     "set01_union_shared_range",
-    "o01_multi_key_sort",
     "o02_limit_offset_page",
     # TPC-H flagships (bench headliners)
     "tpch_q1_pricing_summary",
@@ -150,6 +147,12 @@ _DRIVER_PRIORITY = [
     "ev02_sessionize",
     "tx02_quality_score",
     "tx11_corpus_filter_pipeline",
+    "dd10_bloom_decontaminate",
+    "tp02_resample_gapfill",
+    "sim06_pq_adc",
+    "sim07_ann_ivfpq",
+    "sim08_ann_ivfpq_rerank",
+    "dd13_semantic_dedup",
 ]
 
 
