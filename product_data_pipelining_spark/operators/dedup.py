@@ -1170,3 +1170,156 @@ def dd13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_dups == 0).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dd14: incremental ingest dedup — new-batch-vs-existing-corpus, the
+# shape every dd* above misses: dd01-dd13 dedup WITHIN a corpus or
+# against a benchmark set, but the daily production question is "is
+# this NEW document a near-dup of anything already ingested?". At
+# 100 TB the corpus side's signatures are precomputed once and stored;
+# only the batch (tiny) is signed at ingest, and candidates come from
+# a band-bucket equi-join of batch bands against the corpus band
+# index — never a scan of corpus text.
+
+BATCH_MOD = 5  # doc_id % 5 == 0 plays the incoming batch
+
+
+def _sql_incremental() -> str:
+    band_case = " ".join(
+        f"WHEN {b} THEN md5(h{2 * b} || h{2 * b + 1})" for b in range(NUM_BANDS)
+    )
+    return f"""
+    WITH sig AS ({_sql_signature()}),
+    bands AS (
+      SELECT doc_id, b, CASE b {band_case} END AS band_key
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id
+      FROM bands x JOIN bands y
+        ON x.b = y.b AND x.band_key = y.band_key
+      WHERE x.doc_id % {BATCH_MOD} = 0 AND y.doc_id % {BATCH_MOD} <> 0
+    ),
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks),
+    ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS nsh FROM sh),
+    verified AS (
+      SELECT c.batch_id, count(*) AS shared,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb,
+             c.corpus_id
+      FROM cand c
+      JOIN ex a ON a.doc_id = c.batch_id
+      JOIN ex b ON b.doc_id = c.corpus_id AND b.s = a.s
+      GROUP BY c.batch_id, c.corpus_id
+    ),
+    matches AS (
+      SELECT batch_id,
+             CAST(COUNT(*) AS BIGINT) AS n_corpus_matches,
+             MAX(ROUND(shared * 1.0 / (na + nb - shared), 4))
+               AS best_jaccard
+      FROM verified
+      WHERE shared * 1.0 / (na + nb - shared) >= {JACCARD_THRESHOLD}
+      GROUP BY batch_id
+    )
+    SELECT d.doc_id,
+           COALESCE(m.n_corpus_matches, 0) AS n_corpus_matches,
+           m.best_jaccard,
+           COALESCE(m.n_corpus_matches, 0) = 0 AS keep
+    FROM documents d
+    LEFT JOIN matches m ON m.batch_id = d.doc_id
+    WHERE d.doc_id % {BATCH_MOD} = 0
+    """
+
+
+@register("dd14_incremental_ingest_dedup", oracle=_sql_incremental())
+def dd14_incremental_ingest_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ingest-time dedup: each batch doc vs the existing corpus.
+
+    dd04's LSH machinery re-pointed at the incremental shape: the
+    batch's band keys equi-join the corpus band index (candidates =
+    bucket co-occupancy, direction batch->corpus only — no batch-batch
+    or corpus-corpus pairs), the exact-Jaccard verify touches only
+    candidates, and the verdict aggregates per batch doc: how many
+    verified corpus near-dups, the best Jaccard, and the keep gate.
+    Batch docs with no candidates (or no shingles at all) surface via
+    the left join as keep=true — a silent drop of clean documents is
+    the one failure mode an ingest gate cannot have.
+
+    At scale: the corpus bands/signatures are write-once artifacts
+    (dd09's xxhash64 form — md5 here for the DuckDB oracle); the daily
+    batch is signed map-side, the band join fans out by bucket
+    occupancy, and corpus TEXT is only read for the verified-candidate
+    docs, never scanned wholesale.
+    """
+    sh_arr = shingle_arrays(spark, sf_dir)
+    sig = signature_from_shingles(sh_arr, hash_mode="md5")
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.md5(
+                    F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+                ).alias("band_key"),
+            )
+            for b in range(NUM_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.explode(band_struct).alias("bk")
+    ).select("doc_id", "bk.b", "bk.band_key")
+    is_batch = F.col("doc_id") % BATCH_MOD == 0
+    bb = bands.filter(is_batch).select(
+        F.col("doc_id").alias("batch_id"), "b", "band_key"
+    )
+    cb = bands.filter(~is_batch).select(
+        F.col("doc_id").alias("corpus_id"), "b", "band_key"
+    )
+    cand = (
+        bb.join(cb, ["b", "band_key"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    sh_n = sh_arr.select(
+        "doc_id", "sh", F.size("sh").alias("nsh")
+    )
+    a = sh_n.select(
+        F.col("doc_id").alias("batch_id"),
+        F.col("sh").alias("sh_a"),
+        F.col("nsh").alias("na"),
+    )
+    b_ = sh_n.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("sh").alias("sh_b"),
+        F.col("nsh").alias("nb"),
+    )
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    jacc = shared.cast("double") / (
+        F.col("na") + F.col("nb") - shared
+    ).cast("double")
+    matches = (
+        cand.join(a, "batch_id")
+        .join(b_, "corpus_id")
+        .filter(jacc >= JACCARD_THRESHOLD)
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_corpus_matches"),
+            F.max(duck_round(jacc, 4)).alias("best_jaccard"),
+        )
+    )
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(is_batch)
+        .select("doc_id")
+    )
+    n_m = F.coalesce(F.col("n_corpus_matches"), F.lit(0).cast("long"))
+    return base.join(
+        matches, base.doc_id == matches.batch_id, "left"
+    ).select(
+        "doc_id",
+        n_m.alias("n_corpus_matches"),
+        "best_jaccard",
+        (n_m == 0).alias("keep"),
+    )
