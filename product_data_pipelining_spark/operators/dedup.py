@@ -274,7 +274,8 @@ def _sql_lsh_pairs() -> str:
     WITH sig AS ({_sql_signature()}),
     bands AS (
       SELECT doc_id, b, CASE b {band_case} END AS band_key
-      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+      FROM sig CROSS JOIN
+        (SELECT unnest([{", ".join(map(str, range(NUM_BANDS)))}]) AS b)
     ),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -1193,7 +1194,8 @@ def _sql_incremental() -> str:
     WITH sig AS ({_sql_signature()}),
     bands AS (
       SELECT doc_id, b, CASE b {band_case} END AS band_key
-      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+      FROM sig CROSS JOIN
+        (SELECT unnest([{", ".join(map(str, range(NUM_BANDS)))}]) AS b)
     ),
     cand AS (
       SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id

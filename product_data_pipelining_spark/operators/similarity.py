@@ -824,6 +824,25 @@ def _pq_subvectors(emb: Column) -> Column:
     )
 
 
+def _pq_seeds(vn: DataFrame, code_name: str) -> DataFrame:
+    """Seed codebook rows with dense codes 0..PQ_K-1, window-free.
+
+    Seeds are every PQ_STRIDE-th vec_id (residue 3), bounded below
+    PQ_STRIDE*PQ_K; the code is the seed's rank computed as pure
+    arithmetic — ``(vec_id - 3) / PQ_STRIDE`` is exact for stride hits
+    — instead of a global ``row_number`` window, so no single-partition
+    WindowExec appears anywhere in the plan and the code set stays
+    identical on dense ids (the oracle uses the same formula, so both
+    engines agree even on sparse ids).
+    """
+    return vn.filter(
+        (F.col("vec_id") % PQ_STRIDE == 3)
+        & (F.col("vec_id") < PQ_STRIDE * PQ_K)
+    ).withColumn(
+        code_name, ((F.col("vec_id") - 3) / PQ_STRIDE).cast("int")
+    )
+
+
 @register(
     "sim06_pq_adc",
     oracle=f"""
@@ -840,7 +859,7 @@ def _pq_subvectors(emb: Column) -> Column:
     ),
     seeds AS (
       SELECT embedding,
-             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c
+             CAST((vec_id - 3) // {PQ_STRIDE} AS INTEGER) AS c
       FROM v WHERE vec_id % {PQ_STRIDE} = 3
         AND vec_id < {PQ_STRIDE * PQ_K}
     ),
@@ -895,8 +914,8 @@ def sim06_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     {PQ_STRIDE}th vec_id, dense-ranked to codes 0..{PQ_K}-1;
     ``sim05_kmeans_assign``'s trainer would refine these per subspace,
     changing only how ``cents`` is produced) encodes the corpus as
-    {PQ_M} small codes per vector — a 64x compression of the scan side
-    (64 floats → {PQ_M} codes). A query never decodes: it builds a
+    {PQ_M} small codes per vector — a 16x byte-wise compression of the
+    scan side (64 floats → {PQ_M} one-byte codes). A query never decodes: it builds a
     lookup table of its distance to every codebook entry and scores a
     candidate as the SUM of {PQ_M} table lookups keyed by the
     candidate's codes (asymmetric distance, Jégou et al. 2011).
@@ -925,15 +944,11 @@ def sim06_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: x.cast("double") / F.col("nrm")
         ).alias("embedding"),
     )
-    # codebook: <= PQ_K rows — the global row_number window is bounded
-    wseed = Window.orderBy("vec_id")
-    seeds = (
-        v.filter(
-            (F.col("vec_id") % PQ_STRIDE == 3)
-            & (F.col("vec_id") < PQ_STRIDE * PQ_K)
-        )
-        .withColumn("c", (F.row_number().over(wseed) - 1).cast("int"))
-    )
+    # codebook: <= PQ_K rows; the code is pure arithmetic on vec_id
+    # ((vec_id - 3) / stride, exact for stride hits) — no global-window
+    # row_number, so boundedness is structural, not a single-partition
+    # sort that happens to be small
+    seeds = _pq_seeds(v, "c")
     cent_sub = seeds.select(
         "c", F.posexplode(_pq_subvectors(F.col("embedding"))).alias("m", "cv")
     )
@@ -1039,7 +1054,7 @@ _SQL_IVFPQ_CTES = f"""
     ),
     seeds AS (
       SELECT embedding,
-             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS pc
+             CAST((vec_id - 3) // {PQ_STRIDE} AS INTEGER) AS pc
       FROM vn WHERE vec_id % {PQ_STRIDE} = 3
         AND vec_id < {PQ_STRIDE * PQ_K}
     ),
@@ -1191,14 +1206,8 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: x.cast("double") / F.col("nrm")
         ).alias("embedding"),
     )
-    wseed = Window.orderBy("vec_id")  # codebook: <= PQ_K rows, bounded
-    seeds = (
-        vn.filter(
-            (F.col("vec_id") % PQ_STRIDE == 3)
-            & (F.col("vec_id") < PQ_STRIDE * PQ_K)
-        )
-        .withColumn("pc", (F.row_number().over(wseed) - 1).cast("int"))
-    )
+    # codebook: <= PQ_K rows, window-free (see _pq_seeds)
+    seeds = _pq_seeds(vn, "pc")
     cent_sub = seeds.select(
         "pc", F.posexplode(_pq_subvectors(F.col("embedding"))).alias("m", "cv")
     )

@@ -181,10 +181,11 @@ def main() -> None:
                "big_ratio_vs_duckdb": big["ratio_vs_duckdb"],
                "sf0_1_ratio_vs_duckdb": sf01["ratio_vs_duckdb"]}
     if "correctness_at_scale" in artifact:
-        vals = artifact["correctness_at_scale"].values()
+        vals = list(artifact["correctness_at_scale"].values())
         summary["correct_at_scale"] = (
-            f"{sum(v == 'match' for v in vals)}/{len(list(vals))} match, "
-            f"{sum('MISMATCH' in v for v in vals)} mismatched"
+            f"{sum(v == 'match' for v in vals)}/{len(vals)} match, "
+            f"{sum('MISMATCH' in v for v in vals)} mismatched, "
+            f"{sum('check_error' in v for v in vals)} check_error"
         )
     print(json.dumps(summary))
 
