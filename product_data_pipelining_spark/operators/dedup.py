@@ -1021,12 +1021,21 @@ def dd12_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus size.
 
 SEMDEDUP_COSINE = 0.4  # same near-dup bar as sim03's exact baseline
+# Degenerate-cell backstop (dd04's max_bucket pattern): a cell larger
+# than this skips pair generation entirely — its occupancy array and
+# O(occ^2) pair set never materialize. With k = ceil(sqrt(N)) cells the
+# EXPECTED occupancy is ~sqrt(N), so this only fires on pathological
+# mass-duplicate clusters (which belong to exact dedup upstream) or
+# once the corpus outgrows MAX_CENTROIDS * SEMDEDUP_MAX_CELL vectors;
+# docs in a skipped cell keep n_sem_dups = 0 (keep = true), mirrored
+# exactly in the oracle. Never fires at any probe SF (sf10 max
+# occupancy is ~200).
+SEMDEDUP_MAX_CELL = 4096
 
 
 def _dd13_oracle() -> str:
     from .similarity import (
-        CENT_STRIDE,
-        MAX_CENTROIDS,
+        _SQL_CENT_PRED,
         _SQL_DOT,
         _SQL_NORM,
     )
@@ -1039,8 +1048,7 @@ def _dd13_oracle() -> str:
     ),
     c AS (
       SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
-      FROM v WHERE vec_id % {CENT_STRIDE} = 7
-        AND vec_id < {CENT_STRIDE * MAX_CENTROIDS}
+      FROM v WHERE {_SQL_CENT_PRED}
     ),
     asg AS (
       SELECT v.vec_id, c.cent_id, v.embedding, v.nrm,
@@ -1055,12 +1063,17 @@ def _dd13_oracle() -> str:
       SELECT vec_id, cent_id AS cell, embedding, nrm
       FROM asg WHERE crank = 1
     ),
+    ok AS (
+      SELECT cell FROM cells GROUP BY cell
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {SEMDEDUP_MAX_CELL}
+    ),
     pairs AS (
       SELECT b.vec_id,
              ROUND({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
                    / (a.nrm * b.nrm), 4) AS cos
       FROM cells a JOIN cells b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN ok ON ok.cell = a.cell
     ),
     dups AS (
       SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_sem_dups
@@ -1089,33 +1102,29 @@ def dd13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered document: its cell, how many kept lower-id semantic
     twins it has, and the keep verdict.
 
-    Scale shape: the quantizer replicates a FIXED centroid set
-    (bounded by MAX_CENTROIDS — broadcast, never a shuffle); the
-    pair join is an equi-join on the cell key, so pair count is
-    sum(occupancy²) over cells, never corpus²; the verdict is a
-    partial-aggregated count keyed on doc_id. sim03 (exact all-pairs)
-    is the recall reference: within-cell comparison trades recall for
-    the equi-join exactly as dd04's LSH banding does for text — the
-    miss rate is pinned in tests/test_plans.py.
+    Scale shape: the quantizer replicates a corpus-adaptive centroid
+    set (k = ceil(sqrt(N)) cells, hard-capped — SemDeDup's recipe, so
+    expected occupancy stays ~sqrt(N) and within-cell pair work is
+    O(N^1.5), never the O(N^2/k) a fixed k degrades to; the codebook
+    broadcasts, never a shuffle); the pair join is an equi-join on the
+    cell key gated by ``SEMDEDUP_MAX_CELL`` (dd04's max_bucket
+    backstop — a degenerate cell skips pairing instead of exploding);
+    the verdict is a partial-aggregated count keyed on doc_id. sim03
+    (exact all-pairs) is the recall reference: within-cell comparison
+    trades recall for the equi-join exactly as dd04's LSH banding does
+    for text — the miss rate is pinned in tests/test_plans.py.
     """
     from .similarity import (
-        CENT_STRIDE,
-        MAX_CENTROIDS,
         _with_norm,
+        centroid_filter,
         cosine,
     )
 
     v = _with_norm(spark, sf_dir)
-    cents = (
-        v.filter(
-            (F.col("vec_id") % CENT_STRIDE == 7)
-            & (F.col("vec_id") < CENT_STRIDE * MAX_CENTROIDS)
-        )
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
-        )
+    cents = v.filter(centroid_filter(spark, sf_dir)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
     )
     asg_sim = duck_round(
         cosine(
@@ -1137,8 +1146,19 @@ def dd13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", (-F.col("m.nc")).alias("cell"), "embedding", "nrm")
     )
-    a = cells.alias("a")
-    b = cells.alias("b")
+    # occupancy gate BEFORE the self-join (dd04's max_bucket shape):
+    # cell sizes are counted on narrow rows sharing the pairing join's
+    # hash partitioning; an over-full cell never feeds the O(occ^2)
+    # pair join, and singleton cells drop out early
+    ok = (
+        cells.groupBy("cell")
+        .count()
+        .filter((F.col("count") > 1) & (F.col("count") <= SEMDEDUP_MAX_CELL))
+        .select("cell")
+    )
+    paired = cells.join(ok, "cell")
+    a = paired.alias("a")
+    b = paired.alias("b")
     pair_cos = duck_round(
         cosine(
             F.col("a.embedding"),

@@ -38,14 +38,66 @@ _LIVE_QUERY_BLOCK: dict = {}
 NEARDUP_COSINE = 0.4
 LSH_BITS = 4  # sign bits of the first 4 dims form the bucket
 CENT_STRIDE = 83  # vec_id % 83 == 7 rows act as IVF seed centroids
-# codebook size cap: seed centroids are additionally bounded to the
-# first MAX_CENTROIDS stride hits, so the cell count is FIXED once the
-# corpus outgrows CENT_STRIDE*MAX_CENTROIDS ids — without it |cells|
-# grows linearly with the corpus and the assignment pass turns
-# quadratic (the sf5 probe measured 1204 cells / 63 s). At the test
-# SFs every stride hit is kept, so pinned recall numbers are unchanged.
-MAX_CENTROIDS = 512
+# Coarse-quantizer cell budget GROWS with the corpus: k = ceil(sqrt(N)),
+# clamped to [1, MAX_CENTROIDS]. Both failure modes are quadratic —
+# |cells| ~ N (no cap, the sf5 probe measured 1204 cells / 63 s in the
+# assignment fan-out) and |cells| fixed (round-5's 512: within-cell
+# occupancy ~ N/512, so SemDeDup pairing is O(N^2/512)). k = sqrt(N) is
+# SemDeDup's published recipe (arXiv:2303.09540 grows k with N) and
+# balances the two: assignment work N*k = N^1.5, expected within-cell
+# pair work sum(occ^2) ~ N^2/k = N^1.5. The hard cap bounds the
+# broadcast codebook (65536 x 64 doubles = 32 MiB — MAX_QUERY_BLOCK's
+# budget); past it, per-cell caps (dd04's max_bucket pattern) are the
+# backstop. Derived identically in both engines: Python isqrt-ceil vs
+# SQL CEIL(SQRT(COUNT(*))) agree exactly for any n < 2^52 (IEEE sqrt
+# of an integer only lands on an integer when n is a perfect square).
+# At the test SFs (500/2000 vectors) every stride hit is still kept,
+# so pinned recall numbers are unchanged.
+MAX_CENTROIDS = 65536
 NPROBE = 2  # IVF cells probed per query
+
+
+def centroid_budget(n: int) -> int:
+    """Corpus-adaptive cell count: ceil(sqrt(n)) clamped to the cap."""
+    from math import isqrt
+
+    return max(1, min(MAX_CENTROIDS, isqrt(max(n, 1) - 1) + 1))
+
+
+# DuckDB twin of centroid_budget(count(embeddings)) — a scalar subquery
+# so the ORACLE adapts to whatever corpus it runs against, same as the
+# Spark side.
+_SQL_CENT_K = (
+    f"GREATEST(1, LEAST({MAX_CENTROIDS}, "
+    "CAST(CEIL(SQRT((SELECT COUNT(*) FROM embeddings))) AS BIGINT)))"
+)
+# full centroid-seed predicate, shared by every coarse-quantizer oracle
+_SQL_CENT_PRED = (
+    f"vec_id % {CENT_STRIDE} = 7 AND vec_id < {CENT_STRIDE} * {_SQL_CENT_K}"
+)
+
+# one embeddings-count job per (SparkContext, sf_dir) — the count is a
+# parquet-footer metadata aggregate, but there is no reason to repeat it
+# for every query built in a session against immutable test dirs
+_CORPUS_N_CACHE: dict = {}
+
+
+def corpus_size(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the embeddings corpus (cached per context+dir)."""
+    key = (id(spark.sparkContext), sf_dir)
+    n = _CORPUS_N_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, "embeddings").count()
+        _CORPUS_N_CACHE[key] = n
+    return n
+
+
+def centroid_filter(spark: SparkSession, sf_dir: str) -> Column:
+    """Seed-centroid predicate with the corpus-adaptive cell budget."""
+    k = centroid_budget(corpus_size(spark, sf_dir))
+    return (F.col("vec_id") % CENT_STRIDE == 7) & (
+        F.col("vec_id") < CENT_STRIDE * k
+    )
 
 
 def _dbl(col: Column) -> Column:
@@ -468,8 +520,7 @@ def sim02x_ann_lsh_bucketed_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
-      FROM v WHERE vec_id % {CENT_STRIDE} = 7
-        AND vec_id < {CENT_STRIDE * MAX_CENTROIDS}
+      FROM v WHERE {_SQL_CENT_PRED}
     ),
     asg AS (
       SELECT v.vec_id, c.cent_id, v.embedding, v.nrm,
@@ -510,12 +561,14 @@ def sim04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: coarse quantize → probe nearest cells.
 
     Centroids are deterministic seed vectors (every {CENT_STRIDE}th
-    vec_id, capped at the first {MAX_CENTROIDS} hits so the codebook
-    size is FIXED once the corpus outgrows it — assignment stays
-    O(N x {MAX_CENTROIDS}), linear in the corpus) so both engines agree
-    exactly; production would k-means them (``sim05_kmeans_assign`` is
-    that trainer — swap its refined codebook in here), which only
-    changes how ``cents`` is produced. Every vector is assigned to its nearest
+    vec_id, capped at the first ``centroid_budget(N) = ceil(sqrt(N))``
+    hits so the cell count GROWS with the corpus — assignment is
+    O(N^1.5) total and expected occupancy stays ~sqrt(N), instead of
+    the O(N^2/k) a fixed k degrades to) so both engines agree exactly
+    (the oracle derives the same k from COUNT(*)); production would
+    k-means them (``sim05_kmeans_assign`` is that trainer — swap its
+    refined codebook in here), which only changes how ``cents`` is
+    produced. Every vector is assigned to its nearest
     centroid via a map-side broadcast fan-out reduced by a
     partial-combinable max-of-struct aggregate (never a window over the
     N x cells candidate set); a query probes its {NPROBE} nearest
@@ -532,16 +585,10 @@ def sim04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for recall.
     """
     v = _with_norm(spark, sf_dir)
-    cents = (
-        v.filter(
-            (F.col("vec_id") % CENT_STRIDE == 7)
-            & (F.col("vec_id") < CENT_STRIDE * MAX_CENTROIDS)
-        )
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
-        )
+    cents = v.filter(centroid_filter(spark, sf_dir)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
     )
     asg_sim = duck_round(
         cosine(F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")),
@@ -688,7 +735,8 @@ def sim05_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape — per round, nothing leaves the cluster:
 
-    - ASSIGN: the codebook (≤ MAX_CENTROIDS × 64 doubles ≈ 256 KiB)
+    - ASSIGN: the codebook (ceil(sqrt(N)) × 64 doubles; ≤ 32 MiB at
+      the MAX_CENTROIDS hard cap)
       broadcasts; the n×K candidate fan-out is collapsed map-side by a
       partial-combinable max-of-struct aggregate (a19's pattern), so
       the only data-sized shuffle moves n narrow (vec_id, cluster)
@@ -710,16 +758,10 @@ def sim05_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     v = _with_norm(spark, sf_dir)
     train = v.filter(F.col("vec_id") % KMEANS_TRAIN_MOD == 0)
-    cents = (
-        v.filter(
-            (F.col("vec_id") % CENT_STRIDE == 7)
-            & (F.col("vec_id") < CENT_STRIDE * MAX_CENTROIDS)
-        )
-        .select(
-            F.col("vec_id").alias("cluster_id"),
-            F.col("embedding").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
-        )
+    cents = v.filter(centroid_filter(spark, sf_dir)).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
     )
 
     def assign_to(rows: DataFrame, cents: DataFrame) -> DataFrame:
@@ -1026,8 +1068,7 @@ _SQL_IVFPQ_CTES = f"""
     -- coarse quantizer (sim04's): cosine to seed centroids, round 6
     c AS (
       SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
-      FROM raw WHERE vec_id % {CENT_STRIDE} = 7
-        AND vec_id < {CENT_STRIDE * MAX_CENTROIDS}
+      FROM raw WHERE {_SQL_CENT_PRED}
     ),
     asg AS (
       SELECT v.vec_id, c.cent_id,
@@ -1161,16 +1202,10 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     v = _with_norm(spark, sf_dir)
     # ---- coarse cells (sim04's assignment, unchanged semantics)
-    cents = (
-        v.filter(
-            (F.col("vec_id") % CENT_STRIDE == 7)
-            & (F.col("vec_id") < CENT_STRIDE * MAX_CENTROIDS)
-        )
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
-        )
+    cents = v.filter(centroid_filter(spark, sf_dir)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
     )
     asg_sim = duck_round(
         cosine(F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")),

@@ -741,7 +741,7 @@ def test_kmeans_assignments_match_python_mirror(spark, sf_dir):
         CENT_STRIDE,
         KMEANS_ITERS,
         KMEANS_TRAIN_MOD,
-        MAX_CENTROIDS,
+        centroid_budget,
         sim05_kmeans_assign,
     )
 
@@ -764,7 +764,7 @@ def test_kmeans_assignments_match_python_mirror(spark, sf_dir):
     nrm = np.sqrt(fold(V * V))
 
     seed = (vec_ids % CENT_STRIDE == 7) & (
-        vec_ids < CENT_STRIDE * MAX_CENTROIDS
+        vec_ids < CENT_STRIDE * centroid_budget(len(vec_ids))
     )
     order = np.argsort(vec_ids[seed])
     cids = vec_ids[seed][order]
