@@ -1059,7 +1059,13 @@ def sim06_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared CTE chain for the IVF-PQ family (sim07 ADC ranking, sim08
 # exact re-rank): coarse cells -> probes -> PQ codes/LUT -> ADC-scored
 # candidates. Ends with `scored(query_id, neighbor_id, cell, s6)`.
-_SQL_IVFPQ_CTES = f"""
+# Parameterized on nprobe: sim07 stays at the NPROBE=2 cost point,
+# sim08 probes wider (recall recovery is its whole job).
+def _sql_ivfpq_ctes(nprobe: int) -> str:
+    return _SQL_IVFPQ_CTES_TMPL.replace("__NPROBE__", str(nprobe))
+
+
+_SQL_IVFPQ_CTES_TMPL = f"""
     WITH raw AS (
       SELECT vec_id, embedding,
              {_SQL_NORM.format(a="embedding")} AS nrm
@@ -1082,7 +1088,7 @@ _SQL_IVFPQ_CTES = f"""
     cells AS (SELECT vec_id, cent_id AS cell FROM asg WHERE crank = 1),
     probes AS (
       SELECT vec_id AS query_id, cent_id AS cell
-      FROM asg WHERE crank <= {NPROBE}
+      FROM asg WHERE crank <= __NPROBE__
         AND vec_id % {QUERY_STRIDE} = 0
         AND vec_id < {QUERY_STRIDE * PQ_MAX_QUERIES}
     ),
@@ -1144,7 +1150,7 @@ _SQL_IVFPQ_CTES = f"""
 
 @register(
     "sim07_ann_ivfpq",
-    oracle=_SQL_IVFPQ_CTES
+    oracle=_sql_ivfpq_ctes(NPROBE)
     + f"""
     SELECT query_id, neighbor_id, cell,
            CAST(s6 AS DOUBLE) / 1e6 AS adc_dist, rank
@@ -1193,12 +1199,16 @@ def sim07_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfpq_scored(
+    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+) -> DataFrame:
     """ADC-scored IVF-PQ candidates: (query_id, neighbor_id, cell, s6).
 
     The shared engine behind sim07 (ADC ranking) and sim08 (exact
     re-rank): coarse cells bound the candidate set, PQ codes bound the
     per-candidate cost; every stage is an equi-join or hash aggregate.
+    ``nprobe`` widens the probed-cell set per query — candidate count
+    (and so ADC work) grows linearly with it, recall monotonically.
     """
     v = _with_norm(spark, sf_dir)
     # ---- coarse cells (sim04's assignment, unchanged semantics)
@@ -1231,7 +1241,7 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cents))
         .select("vec_id", "cent_id", asg_sim.alias("asg_sim"))
         .withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= NPROBE)
+        .filter(F.col("crank") <= nprobe)
         .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
     )
     # ---- PQ codes + LUT (sim06's encoder, unchanged semantics)
@@ -1294,11 +1304,20 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RERANK_R = 50  # ADC candidates kept per query for the exact refine pass
+# sim08 probes wider than sim07: the re-rank stage exists to recover
+# recall, and the IVF candidate bound is the ceiling it recovers TO —
+# multi-probe raises that ceiling. Measured recall@10 vs sim01 ground
+# truth at sf0.01 (candidate rows grow ~linearly with nprobe: 1690 /
+# 3315 / 4990): nprobe=2 -> 0.56, 4 -> 0.83, 6 -> 0.94 (saturates —
+# sf0.01 has only 6 cells). Default 4 buys the knee of the curve at 2x
+# the candidate work; the floor is pinned in
+# test_ivfpq_rerank_recovers_ivf_recall_bound.
+SIM08_NPROBE = 4
 
 
 @register(
     "sim08_ann_ivfpq_rerank",
-    oracle=_SQL_IVFPQ_CTES
+    oracle=_sql_ivfpq_ctes(SIM08_NPROBE)
     + f"""
     , keep AS (
       SELECT query_id, neighbor_id FROM (
@@ -1343,7 +1362,7 @@ def sim08_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     executors stream embeddings past it; nothing shuffles on the big
     side.
     """
-    scored = _ivfpq_scored(spark, sf_dir)
+    scored = _ivfpq_scored(spark, sf_dir, nprobe=SIM08_NPROBE)
     wadc = Window.partitionBy("query_id").orderBy(
         F.asc("s6"), F.asc("neighbor_id")
     )

@@ -847,9 +847,11 @@ def test_centroid_budget_scales_with_corpus_and_bounds_occupancy(spark):
 
 def test_ivfpq_rerank_recovers_ivf_recall_bound(spark):
     """The exact re-rank (sim08) must recover recall lost to PQ's
-    approximate scoring: measured 0.560 on sf0.01 — identical to
-    sim04's IVF-only recall, i.e. the candidate bound — vs sim07's
-    0.420 with ADC ranking alone. Emitted similarities are the exact
+    approximate scoring, and its SIM08_NPROBE=4 multi-probe must lift
+    the IVF candidate bound past the single-probe ceiling: measured
+    0.830 on sf0.01 (nprobe ladder 2 -> 0.56, 4 -> 0.83, 6 -> 0.94
+    saturated) vs sim07's 0.420 with nprobe=2 ADC ranking alone —
+    floor 0.7 (VERDICT r5 #4). Emitted similarities are the exact
     round-4 cosine, so every pair sim08 shares with sim01's ground
     truth must carry the identical score."""
     sfd = "/root/testdata/sf0.01"
@@ -868,7 +870,7 @@ def test_ivfpq_rerank_recovers_ivf_recall_bound(spark):
     assert exact, "ground truth empty — fixture problem"
     recall_rr = len(set(rr) & set(exact)) / len(exact)
     recall_adc = len(adc & set(exact)) / len(exact)
-    assert recall_rr >= 0.5, f"rerank recall = {recall_rr:.3f} < 0.5"
+    assert recall_rr >= 0.7, f"rerank recall = {recall_rr:.3f} < 0.7"
     assert recall_rr >= recall_adc, (recall_rr, recall_adc)
     for pair in set(rr) & set(exact):
         assert rr[pair] == exact[pair], (pair, rr[pair], exact[pair])
