@@ -89,8 +89,28 @@ _CACHE_SPREAD_BYTES = 2 * 1024 * 1024
 _SERVING_CLUSTER_KEYS: dict[str, tuple[str, ...]] = {
     "events": ("user_id",),
     "lineitem": ("l_orderkey",),
+    "orders": ("o_orderkey",),
+    "customer": ("c_custkey",),
     "documents": ("doc_id",),
 }
+
+
+def _table_bytes(path: str) -> int:
+    """On-disk bytes of a parquet table that may be a single file OR a
+    directory of part files (generated SFs) — ``os.path.getsize`` on a
+    directory returns the inode size (~4 KiB), which silently disabled
+    the serving-cache cluster repartition for every multi-file table."""
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if not f.startswith((".", "_"))
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
 
 
 def _cached(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> DataFrame:
@@ -99,18 +119,24 @@ def _cached(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> DataF
     if hit is not None:
         return hit
     sc = spark.sparkContext
-    try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
-    except OSError:
-        size = 0
+    size = _table_bytes(os.path.join(sf_dir, f"{name}.parquet"))
     cluster = _SERVING_CLUSTER_KEYS.get(name)
+    # cluster at the session's shuffle-partition count, not core count:
+    # a groupBy/join over the cached table shuffles to shuffle.partitions,
+    # and a count mismatch (e.g. bench's data-sized 28 vs 32 cores) makes
+    # EnsureRequirements re-exchange an already-clustered side just to
+    # align partition counts.
+    try:
+        n_parts = int(str(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):
+        n_parts = sc.defaultParallelism
     if size >= _CACHE_SPREAD_BYTES and (
-        cluster or df.rdd.getNumPartitions() < sc.defaultParallelism
+        cluster or df.rdd.getNumPartitions() < n_parts
     ):
         if cluster:
-            df = df.repartition(sc.defaultParallelism, *cluster)
+            df = df.repartition(n_parts, *cluster)
         else:
-            df = df.repartition(sc.defaultParallelism)
+            df = df.repartition(n_parts)
     df = df.cache()
     _TABLE_CACHE[key] = df
     return df
@@ -146,6 +172,29 @@ def broadcast_if_small(df: DataFrame, *base: DataFrame) -> DataFrame:
             str(rel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
     return F.broadcast(df) if total <= threshold else df
+
+
+def broadcast_or_shuffle_hash(df: DataFrame, *base: DataFrame) -> DataFrame:
+    """Size-aware build-side hint: broadcast while small, hash when not.
+
+    Same base-relation size test as :func:`broadcast_if_small`, but past
+    the threshold the relation is hinted ``shuffle_hash`` instead of
+    left unhinted: the planner's default past-broadcast choice is
+    SortMergeJoin, which sorts BOTH sides — for a narrow build side that
+    comfortably fits a task's memory (dimension enrichments, pre-
+    aggregated fact keys), building a per-partition hash table and
+    streaming the probe side unsorted is strictly cheaper. The caller
+    owns the fits-in-a-task claim; per-partition build size is
+    total/shuffle-partitions and AQE's skew splitting still applies on
+    cluster paths. A broadcast-eligible df never reaches the hint, so
+    small-SF plans keep their BroadcastHashJoin shape.
+    """
+    from pyspark.sql import functions as F
+
+    hinted = broadcast_if_small(df, *base)
+    if hinted is not df:  # broadcast hint applied
+        return hinted
+    return df.hint("shuffle_hash")
 
 
 def load_table(

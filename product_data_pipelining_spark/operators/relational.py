@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..functions.rounding import (
+    _scaled_long,
     det_avg,
     det_avg_raw,
     det_sum,
@@ -889,40 +890,75 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 5-table star join rolled up to region/nation.
 
-    Region and nation always broadcast; the customer enrichment
-    broadcasts only while the customer table fits the session threshold
-    (``io.broadcast_if_small`` — at sf5 and beyond it becomes a second
-    shuffle join, which is the correct 100 TB shape). orders⋈lineitem
-    is the one unavoidable shuffle — co-partitioning/bucketing on
-    orderkey is the 100 TB optimization, and AQE handles orderkey skew.
+    The fact side is EAGERLY AGGREGATED below the join (the classic
+    eager-aggregation pushdown): lineitem's revenue is partial-summed
+    per orderkey on the 1e-6 integer grid before anything joins, so
+
+    - the only lineitem-sized exchange carries narrow
+      ``(orderkey, BIGINT)`` partial-agg rows, never priced line rows;
+    - the orderkey join probes ~|orders| rows instead of ~|lineitem|
+      (10x fewer at TPC-H multiplicities);
+    - ``COUNT(DISTINCT o_orderkey)`` degenerates to a plain COUNT —
+      the joined stream has exactly one row per order — eliminating
+      the (region, nation, orderkey) dedup re-exchange entirely.
+
+    The integer partials make the split-sum exact: the final revenue is
+    ``round(sum(per-order BIGINT sums) / 1e6)``, bit-identical to
+    ``det_sum`` over raw rows regardless of grouping (round-5's sf10
+    probe measured the unsplit plan 4.7x behind DuckDB; this shape is
+    the fix). Region/nation always broadcast; the customer enrichment
+    and the orders build side use size-aware hints — broadcast while
+    their base tables fit the session threshold, per-partition hash
+    build (narrow rows, no SMJ double sort) when they outgrow it
+    (``io.broadcast_or_shuffle_hash``). At 100 TB, bucketing orders and
+    lineitem on orderkey (``io.write_bucketed``) removes the two fact
+    exchanges; AQE handles orderkey skew on cluster paths.
     """
-    from ..io import broadcast_if_small
+    from ..io import broadcast_or_shuffle_hash
 
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    li_agg = (
+        li.select(
+            "l_orderkey",
+            _scaled_long(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev6"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev6").alias("rev6"))
+    )
     enriched_cust = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("c_custkey", "n_name", "r_name")
     )
+    # second eager aggregation: collapse order grain to customer grain
+    # BEFORE the customer join, so the custkey exchange and join probe
+    # carry ~|customer| rows (10x fewer than |orders| at TPC-H
+    # multiplicities) and the final rollup reads customer-grain rows.
+    cust_rev = (
+        li_agg.join(
+            broadcast_or_shuffle_hash(o.select("o_orderkey", "o_custkey"), o),
+            li_agg.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("rev6").alias("rev6"), F.count(F.lit(1)).alias("nord"))
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        # size-aware: broadcast the customer enrichment only while the
-        # customer base table fits the threshold (sf5 probe: the hard
-        # hint built a 750k-row driver HashedRelation per run)
-        .join(
-            broadcast_if_small(enriched_cust, c),
-            o.o_custkey == F.col("c_custkey"),
+        cust_rev.join(
+            broadcast_or_shuffle_hash(enriched_cust, c),
+            F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            det_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            duck_round(
+                F.sum("rev6").cast("double") / F.lit(1e6), 2
             ).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("order_count"),
+            F.sum("nord").cast("bigint").alias("order_count"),
         )
     )
 

@@ -85,7 +85,13 @@ def get_spark(
         .config("spark.sql.maxMetadataStringLength", "2000")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode runs every executor thread inside the driver JVM, so
+        # this is the TOTAL heap for scans + shuffles + the serving-mode
+        # table caches. 8g starved 32-way ShuffledHashJoin builds next to
+        # an sf10 cache (storageFraction protects cached blocks from
+        # eviction); on a real cluster this maps to executor memory and
+        # is sized per-node, not per-job.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
