@@ -214,6 +214,15 @@ def mm02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     in, typed feature columns out, executed per Arrow batch with zero
     driver involvement. Deterministic fake decode (see
     ``make_fake_decoder``); rows-only correctness check.
+
+    Bench floor (round 6, sf0.1): an IDENTITY ``mapInPandas`` over the
+    same 50k cached rows measures ~0.21 s — the Python-worker +
+    Arrow-serialization round trip — and the full decode ~0.31 s, so
+    ~2/3 of the wall time is the fixed Python boundary, not the kernel.
+    Round-over-round swings in the 0.26-0.33 s range are sandbox noise
+    around that floor; the plan is a single cached scan -> project ->
+    MapInPandas with no exchange, and at scale the boundary cost
+    amortizes linearly with batch count.
     """
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))

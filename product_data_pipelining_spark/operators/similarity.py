@@ -329,7 +329,9 @@ def _sql_bucket(prefix: str) -> str:
     WHERE rank <= {TOP_K}
     """,
 )
-def sim02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim02_ann_lsh_bucketed(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
     """Sign-LSH bucketed ANN — the scale path.
 
     Bucket key = sign bits of the first {LSH_BITS} dimensions (an
@@ -338,8 +340,33 @@ def sim02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-bucket vectors: the similarity join becomes an equi-join on the
     bucket key that Spark hash-partitions — no crossproduct anywhere.
     Production tuning: more bits + multi-probe for recall.
+
+    ``max_bucket`` (dd04's hot-bucket cap, None = oracle-compat): a
+    bucket larger than the cap means the fixed hyperplanes don't
+    discriminate there — its |bucket| x |bucket-queries| candidate
+    fan-out is exactly the blow-up the bucketing exists to prevent, so
+    the bucket is dropped BEFORE the join (counted on narrow keys,
+    never materialized as pairs). Queries in a dropped bucket return no
+    rows; the production remedy is more bits / multi-probe (sim04+),
+    not pairing through a degenerate cell.
     """
     v = _with_norm(spark, sf_dir)
+    if max_bucket is not None:
+        ok = (
+            v.groupBy(
+                F.concat(
+                    *[
+                        F.when(
+                            F.element_at("embedding", i + 1) >= 0, F.lit("1")
+                        ).otherwise(F.lit("0"))
+                        for i in range(LSH_BITS)
+                    ]
+                ).alias("bucket")
+            )
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .select("bucket")
+        )
     bucket = F.concat(
         *[
             F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1")).otherwise(
@@ -349,6 +376,10 @@ def sim02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     v = v.withColumn("bucket", bucket)
+    if max_bucket is not None:
+        # broadcast semi-join on the narrow surviving-bucket keys: at most
+        # 2^LSH_BITS rows, so the corpus is filtered map-side
+        v = v.join(F.broadcast(ok), "bucket", "left_semi")
     q = v.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -807,3 +807,126 @@ def test_kmeans_assignments_match_python_mirror(spark, sf_dir):
         for r in sim05_kmeans_assign(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_rest_client_live_transport_against_stub_server():
+    """Drive RestClient's REAL ``requests`` transport (no injection)
+    against a stdlib ``http.server`` stub: OAuth2 token grant with Basic
+    auth, bearer-authenticated paged fetches with query params, a 302
+    redirect hop, 429-then-500-then-200 retry recovery, and a permanent
+    404 (exactly one attempt). This is the only executed-transport
+    coverage of the reference's primary working mode
+    (``main_pipeline.py:135-272``) — everything else stubs the
+    transport callable."""
+    import base64
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from product_data_pipelining_spark.sources.ingest import (
+        PermanentHTTPError,
+        RestClient,
+    )
+
+    state = {"token_reqs": [], "loc_reqs": [], "prod_attempts": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def _json(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            if urlparse(self.path).path != "/v1/connect/oauth2/token":
+                return self._json(404, {})
+            n = int(self.headers.get("Content-Length", "0"))
+            form = parse_qs(self.rfile.read(n).decode())
+            state["token_reqs"].append(
+                {"auth": self.headers.get("Authorization", ""), "form": form}
+            )
+            self._json(200, {"access_token": "live-tok-1"})
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            qs = parse_qs(url.query)
+            auth = self.headers.get("Authorization", "")
+            if url.path == "/v1/locations":
+                # one redirect hop: requests must follow it transparently
+                self.send_response(302)
+                self.send_header(
+                    "Location", f"/v1/locations_moved?{url.query}"
+                )
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            if url.path == "/v1/locations_moved":
+                state["loc_reqs"].append({"auth": auth, "qs": qs})
+                zipc = qs["filter.zipCode.near"][0]
+                return self._json(
+                    200,
+                    {"data": [
+                        {"locationId": f"L-{zipc}-0"},
+                        {"locationId": f"L-{zipc}-1"},
+                    ]},
+                )
+            if url.path == "/v1/products":
+                state["prod_attempts"] += 1
+                if state["prod_attempts"] == 1:
+                    return self._json(429, {"error": "slow down"})
+                if state["prod_attempts"] == 2:
+                    return self._json(500, {"error": "boom"})
+                return self._json(
+                    200, {"data": [{"productId": qs["filter.term"][0]}]}
+                )
+            return self._json(404, {"error": "no such path"})
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        client = RestClient(
+            base_url=f"http://127.0.0.1:{srv.server_address[1]}",
+            client_id="cid",
+            client_secret="sec",
+            sleeper=lambda _s: None,  # no real backoff/delay sleeps
+        )
+        # S1: token grant over the wire, Basic auth + form body verified
+        tok = client.get_access_token()
+        assert tok == "live-tok-1"
+        (treq,) = state["token_reqs"]
+        assert treq["auth"] == "Basic " + base64.b64encode(b"cid:sec").decode()
+        assert treq["form"]["grant_type"] == ["client_credentials"]
+        # S2: bearer-authenticated location fetch through a 302 redirect
+        locs = client.fetch_location_payloads(tok, zip_codes=["30301"])
+        assert [p["location"]["locationId"] for p in locs] == [
+            "L-30301-0",
+            "L-30301-1",
+        ]
+        assert [p["fetch_seq"] for p in locs] == [0, 1]
+        assert all(
+            r["auth"] == "Bearer live-tok-1" and
+            r["qs"]["filter.radiusInMiles"] == ["50"]
+            for r in state["loc_reqs"]
+        )
+        # S3: 429 -> 500 -> 200 rides the retry loop over the real wire
+        prods = client.fetch_product_payloads(tok, ["L-30301-0"], terms=["milk"])
+        assert state["prod_attempts"] == 3
+        assert [p["product"]["productId"] for p in prods] == ["milk"]
+        # permanent 404: one attempt, immediate raise
+        before = state["prod_attempts"]
+        try:
+            client._get(tok, "/v1/nope", {})
+            raise AssertionError("expected PermanentHTTPError")
+        except PermanentHTTPError as exc:
+            assert exc.status == 404
+        assert state["prod_attempts"] == before
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -1072,6 +1072,42 @@ def test_sim02x_numpy_twin_frame_equals_sim02(spark, sf_dir):
     assert a == b
 
 
+def test_sim02_max_bucket_caps_hot_buckets(spark, sf_dir):
+    """sim02's dd04-style hot-bucket cap: with ``max_bucket`` set, every
+    result row comes from a bucket whose occupancy is within the cap,
+    surviving buckets' rows are IDENTICAL to the uncapped run (the cap
+    only removes degenerate cells, it never rescores survivors), and
+    ``None`` keeps oracle-compat semantics."""
+    from product_data_pipelining_spark.operators.similarity import (
+        sim02_ann_lsh_bucketed,
+    )
+
+    full = sim02_ann_lsh_bucketed(spark, sf_dir).collect()
+    occupancy = {}
+    for r in full:
+        occupancy[r["bucket"]] = occupancy.get(r["bucket"], 0)
+    # bucket occupancy from the corpus side (result only shows pairs)
+    from product_data_pipelining_spark.io import load_table
+    from product_data_pipelining_spark.operators.similarity import LSH_BITS
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    counts: dict[str, int] = {}
+    for r in emb:
+        b = "".join("1" if x >= 0 else "0" for x in r.embedding[:LSH_BITS])
+        counts[b] = counts.get(b, 0) + 1
+    cap = sorted(counts.values())[len(counts) // 2]  # median occupancy
+    capped = sim02_ann_lsh_bucketed(spark, sf_dir, max_bucket=cap).collect()
+    assert capped, "median-occupancy cap should keep at least one bucket"
+    assert all(counts[r["bucket"]] <= cap for r in capped)
+    kept_buckets = {b for b, n in counts.items() if n <= cap}
+    expected = {tuple(r) for r in full if counts[r["bucket"]] <= cap}
+    got = {tuple(r) for r in capped}
+    assert got == expected, (
+        f"capped run must equal the uncapped rows of surviving buckets "
+        f"({len(got)} vs {len(expected)}, kept={len(kept_buckets)})"
+    )
+
+
 def test_shuffle_order_is_range_partitioned_sort(spark, sf_dir):
     """smp07's global permutation must be Spark's distributed sort —
     a rangepartitioning exchange — and never a single-partition window
