@@ -125,6 +125,10 @@ HEADLINE = [
     # semantic dedup, cluster-then-compare (oracled): the SemDeDup
     # scale path — pair count is cell occupancy, never corpus^2
     "dd13_semantic_dedup",
+    # incremental ingest dedup (oracled): new batch LSH-probes the
+    # existing corpus index without recomputing it — the scale claim is
+    # cost ∝ batch, so it belongs in the per-SF probes
+    "dd14_incremental_ingest_dedup",
     "mm02_decode_features",
 ]
 

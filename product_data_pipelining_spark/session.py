@@ -56,12 +56,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # coalesce by target size, not by keeping parallelism: a shuffle
-        # whose whole output fits one advisory partition becomes ONE task
-        # instead of `cpus` near-empty ones. At 100 TB shuffles exceed
-        # the advisory size anyway, so this only removes small-stage
-        # scheduling overhead — it never caps big-stage parallelism.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # coalesce respecting parallelism FIRST (the Spark default), not
+        # purely by advisory size: with parallelismFirst=false a 343 MiB
+        # 15M-row aggregate exchange at sf10 coalesced to ~6 of 32 cores
+        # (64 MiB advisory) and the final agg ran 9.6 s vs 1.2 s — the
+        # advisory size caps big-stage parallelism exactly when it
+        # matters. Tiny stages still collapse: minPartitionSize (1 MiB)
+        # bounds the split, so a 6 KiB result stage remains one task.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         # start high, let AQE coalesce down — on a 1000-executor cluster the
         # initial number should be ~2-3x total cores; locally core count
         # (or the serving profile's explicit count).
