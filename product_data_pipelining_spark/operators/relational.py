@@ -843,9 +843,20 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → join chain → grouped revenue.
 
-    The segment filter prunes customer before the join (Catalyst pushes
-    it below); filtered customer and orders stay far below the broadcast
-    threshold relative to lineitem, so the big side never shuffles.
+    Fact-side work happens at the order grain BEFORE customer touches
+    the plan: lineitem (filtered, narrow, integer-grid revenue) joins
+    orders (filtered) on orderkey — size-aware build side: broadcast at
+    small SF, per-partition hash build past the threshold (the round-5
+    hard ``F.broadcast(o)`` built a ~7M-row, 350 MB driver
+    HashedRelation per run at sf10) — and aggregates per order with
+    custkey carried as a functionally-dependent grouping key. Under the
+    clustered serving cache (lineitem/orders hash-clustered on
+    orderkey) both the join and this aggregation are exchange-free.
+    The customer join is then a pure FILTER on order-grain rows (every
+    column it needs is already grouped), so it moves the small
+    aggregated stream — never priced line rows — through the custkey
+    exchange; at 100 TB the can't-broadcast fallback is dd10's Bloom
+    semi-join shape.
     """
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
@@ -854,20 +865,56 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").cast("date") > F.lit("1995-03-15").cast("date")
     )
+    from ..io import broadcast_or_shuffle_hash
+
+    # The segment filter is applied to ORDERS first, as a semi join on
+    # the pruned single-column key set (8 B a row — size-tested on THAT
+    # relation, not the full customer table): ~5x fewer orders reach
+    # the fact join, the hash build shrinks with them, and no join
+    # remains after the aggregate. At 100 TB the key set outgrows the
+    # threshold and the hint degrades to a per-partition hash build
+    # (or dd10's Bloom semi-join shape upstream).
+    c_keys = c.select("c_custkey")
+    o_building = o.select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    ).join(
+        broadcast_or_shuffle_hash(c_keys, c_keys),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey, "inner")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
-        .groupBy(
+        li.select(
             "l_orderkey",
-            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+            _scaled_long(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev6"),
+        )
+        .join(
+            broadcast_or_shuffle_hash(o_building, o),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "inner",
+        )
+        # group on the single BIGINT orderkey — orderdate/orderpriority
+        # are functionally dependent on it (one order, one value), so
+        # MIN() carries them exactly and deterministically while the
+        # aggregate hashes 8-byte keys instead of (bigint, formatted
+        # string, string) triples; date_format then runs once per ORDER
+        # (post-agg), not once per joined line row.
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("rev6").alias("rev6"),
+            F.min("o_orderdate").alias("_od"),
+            F.min("o_orderpriority").alias("orderpriority"),
+        )
+        .select(
+            "l_orderkey",
+            duck_round(F.col("rev6").cast("double") / F.lit(1e6), 2).alias(
+                "revenue"
+            ),
+            F.date_format(F.col("_od").cast("date"), "yyyy-MM-dd").alias(
                 "orderdate"
             ),
-            F.col("o_orderpriority").alias("orderpriority"),
-        )
-        .agg(
-            det_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue")
+            "orderpriority",
         )
         .select("l_orderkey", "revenue", "orderdate", "orderpriority")
     )

@@ -6,9 +6,12 @@ that role. Every knob below is chosen for the 100 TB target:
 
 - AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
   and dynamic join-strategy demotion replace hand-tuned partition counts.
-- ``autoBroadcastJoinThreshold`` left at default (10 MB) so dimension
-  tables (region/nation/part/supplier, or the reference's dim_locations /
-  dim_products) broadcast instead of shuffling the fact side.
+- ``autoBroadcastJoinThreshold`` raised to 32 MB: the 10 MB default
+  dates to 1 GB-heap executors; any modern executor holds a 32 MB hash
+  relation without pressure, and the extra headroom lets pruned
+  single-column dimension key sets (e.g. a filtered custkey list)
+  broadcast instead of forcing a fact-side exchange. AQE still demotes
+  from RUNTIME sizes when an estimate lied upward.
 - Arrow enabled: every pandas boundary (``toPandas``, pandas UDFs,
   ``applyInPandas``/``mapInPandas``) moves columnar batches, not rows.
 - Shuffle partitions default to the local core count for tests; on a real
@@ -68,6 +71,10 @@ def get_spark(
         # initial number should be ~2-3x total cores; locally core count
         # (or the serving profile's explicit count).
         .config("spark.sql.shuffle.partitions", shuffle_partitions)
+        # 32 MB broadcast threshold (see module docstring): modern-heap
+        # sizing so pruned dimension key sets broadcast; AQE can still
+        # demote a lying estimate at runtime.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # --- pandas/Arrow boundary ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
