@@ -1177,6 +1177,113 @@ def chk01_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chk04_dataset_diff",
+    oracle="""
+    WITH v_old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    v_new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 5
+                  THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 10 = 9
+                  THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey % 10 <> 7
+    ),
+    j AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+             CASE
+               WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN o.o_totalprice <> n.o_totalprice
+                 OR o.o_orderstatus <> n.o_orderstatus THEN 'changed'
+               ELSE 'unchanged'
+             END AS status,
+             CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                   AND o.o_totalprice <> n.o_totalprice
+                  THEN 1 ELSE 0 END AS price_chg,
+             CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                   AND o.o_orderstatus <> n.o_orderstatus
+                  THEN 1 ELSE 0 END AS status_chg
+      FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_chg) AS BIGINT) AS n_totalprice_changed,
+           CAST(SUM(status_chg) AS BIGINT) AS n_orderstatus_changed
+    FROM j GROUP BY status
+    """,
+)
+def chk04_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset regression diff: version-to-version row reconciliation.
+
+    What a training-data pipeline runs between two snapshots of the
+    same table (yesterday's landing vs today's): a FULL OUTER JOIN on
+    the primary key classifies every key as added / removed / changed
+    / unchanged and counts which columns drove each change — the
+    audit that catches an upstream re-crawl silently rewriting
+    history. The two versions here are derived DETERMINISTICALLY from
+    one fixture table (membership and perturbations keyed on
+    ``o_orderkey % 10``) so both engines reconstruct identical
+    snapshots.
+
+    Scale shape: one key-partitioned FULL OUTER equi-join (both sides
+    are projections of the same clustered base table, so under the
+    serving cache the join is exchange-free; on raw parquet it is two
+    narrow exchanges), followed by a partial-aggregated 4-group
+    rollup. Nothing driver-sized anywhere; at 100 TB this is the same
+    plan with bucketed-by-key snapshots.
+    """
+    o = _t(spark, sf_dir, "orders")
+    mod = F.col("o_orderkey") % 10
+    v_old = o.filter(mod != 3).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("p_old"),
+        F.col("o_orderstatus").alias("s_old"),
+    )
+    v_new = o.filter(mod != 7).select(
+        "o_orderkey",
+        F.when(mod == 5, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("p_new"),
+        F.when(mod == 9, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s_new"),
+    )
+    j = v_old.join(
+        v_new.withColumnRenamed("o_orderkey", "k_new"),
+        v_old.o_orderkey == F.col("k_new"),
+        "full_outer",
+    )
+    in_both = F.col("o_orderkey").isNotNull() & F.col("k_new").isNotNull()
+    price_chg = (in_both & (F.col("p_old") != F.col("p_new"))).cast("int")
+    status_chg = (in_both & (F.col("s_old") != F.col("s_new"))).cast("int")
+    status = (
+        F.when(F.col("o_orderkey").isNull(), "added")
+        .when(F.col("k_new").isNull(), "removed")
+        .when(
+            (F.col("p_old") != F.col("p_new"))
+            | (F.col("s_old") != F.col("s_new")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            price_chg.alias("price_chg"),
+            status_chg.alias("status_chg"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price_chg").cast("bigint").alias("n_totalprice_changed"),
+            F.sum("status_chg").cast("bigint").alias("n_orderstatus_changed"),
+        )
+    )
+
+
+@register(
     "ev05_funnel_conversion",
     oracle="""
     WITH s AS (

@@ -739,6 +739,165 @@ def sim03_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Degenerate-cell backstop for the kNN-graph builder (dd04's max_bucket
+# shape, dd13's constant): a cell past this occupancy skips pairing —
+# its O(occ^2) directed pair set never materializes. Expected occupancy
+# with k = ceil(sqrt(N)) cells is ~sqrt(N); never fires at probe SFs.
+KNN_MAX_CELL = 4096
+# Source-side multi-probe for graph edges: each vector pairs against
+# the members of its KNN_NPROBE nearest cells (single-cell edges hit
+# only 0.40 of exact rank-1 neighbors at sf0.01; 2-probe lifts it to
+# 0.60 rank-1 / 0.56 recall@10 — sim04's nprobe=2 operating point)
+KNN_NPROBE = 2
+
+
+@register(
+    "sim09_knn_graph",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             {_SQL_NORM.format(a="embedding")} AS nrm
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+      FROM v WHERE {_SQL_CENT_PRED}
+    ),
+    asg AS (
+      SELECT v.vec_id, c.cent_id, v.embedding, v.nrm,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY ROUND({_SQL_DOT.format(a="v.embedding", b="c.c_emb")}
+                              / (v.nrm * c.c_nrm), 6) DESC,
+                        c.cent_id ASC) AS crank
+      FROM v CROSS JOIN c
+    ),
+    cells AS (
+      SELECT vec_id, cent_id AS cell, embedding, nrm
+      FROM asg WHERE crank = 1
+    ),
+    probes AS (
+      SELECT vec_id, cent_id AS cell, embedding, nrm
+      FROM asg WHERE crank <= {KNN_NPROBE}
+    ),
+    ok AS (
+      SELECT cell FROM cells GROUP BY cell
+      HAVING COUNT(*) <= {KNN_MAX_CELL}
+    ),
+    scored AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id, b.cell,
+             ROUND({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+                   / (a.nrm * b.nrm), 4) AS cosine_sim
+      FROM probes a
+      JOIN ok ON ok.cell = a.cell
+      JOIN cells b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+    )
+    SELECT vec_id, neighbor_id, cell, cosine_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def sim09_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN graph: EVERY vector's top-{TOP_K} neighbors within its IVF cell.
+
+    The building block SemDeDup-style clustering, graph-based dedup
+    (feed the edges to dd06's connected components), and
+    diversity-aware sampling all share: a full self-kNN, not a bounded
+    query block. sim01/sim02/sim04 answer "neighbors of these
+    queries"; this answers "neighbors of everyone" — the output is an
+    edge list (vec_id, neighbor_id, cosine_sim, rank).
+
+    Scale shape: the corpus-adaptive quantizer (k = ceil(sqrt(N))
+    cells, broadcast codebook — sim04's exact machinery) keeps the
+    directed pair set at KNN_NPROBE * sum(occupancy^2) ~ O(N^1.5),
+    never all-pairs; each SOURCE probes its {KNN_NPROBE} nearest cells
+    (single-cell edges missed the exact rank-1 neighbor for 60% of
+    queries at sf0.01 — cell-boundary loss, sim04's recall bound);
+    the ``KNN_MAX_CELL`` occupancy gate (dd04's max_bucket backstop)
+    drops degenerate cells BEFORE pairing; the per-vector top-k is a
+    window over narrow (id, id, sim) rows. The probe ranking windows
+    N x k NARROW rows (ids + one double — never embedding arrays;
+    the two-pass max-of-struct is the array-free alternative if even
+    that exchange hurts). Rank-1-edge recall vs sim01's exact ground
+    truth is pinned in tests/test_plans.py. At 100 TB the cell
+    assignment is precomputed and written partitioned-by-cell, making
+    each cell's GEMM-able block a partition-local read.
+    """
+    v = _with_norm(spark, sf_dir)
+    cents = v.filter(centroid_filter(spark, sf_dir)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    asg_sim = duck_round(
+        cosine(F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")),
+        6,
+    )
+    # one narrow N x k fan-out serves BOTH sides: crank=1 is the cell
+    # assignment (neighbor side), crank<=KNN_NPROBE the probe set
+    narrow = (
+        v.select("vec_id", "embedding", "nrm")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", asg_sim.alias("s"))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cent_id"))
+    ranked = narrow.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= KNN_NPROBE
+    )
+    cells = (
+        ranked.filter(F.col("crank") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+        .join(v, "vec_id")
+        .select("vec_id", "cell", "embedding", "nrm")
+    )
+    probes = (
+        ranked.select("vec_id", F.col("cent_id").alias("cell"))
+        .join(v, "vec_id")
+        .select("vec_id", "cell", "embedding", "nrm")
+    )
+    ok = (
+        cells.groupBy("cell")
+        .count()
+        .filter(F.col("count") <= KNN_MAX_CELL)
+        .select("cell")
+    )
+    a = probes.join(ok, "cell").alias("a")
+    b = cells.alias("b")
+    pair_cos = duck_round(
+        cosine(
+            F.col("a.embedding"), F.col("b.embedding"),
+            F.col("a.nrm"), F.col("b.nrm"),
+        ),
+        4,
+    )
+    scored = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("b.cell").alias("cell"),
+            pair_cos.alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("vec_id", "neighbor_id", "cell", "cosine_sim", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # sim05: distributed spherical k-means — the codebook trainer sim04's
 # docstring promises ("production would k-means them").

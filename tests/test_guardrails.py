@@ -43,6 +43,7 @@ BNLJ_ALLOWED = {
     "sim07_ann_ivfpq",                 # fixed centroid-set replication (IVF coarse stage)
     "sim08_ann_ivfpq_rerank",          # same coarse stage + bounded candidate broadcast
     "dd13_semantic_dedup",             # fixed centroid-set replication (coarse quantizer)
+    "sim09_knn_graph",                 # fixed centroid-set replication (coarse quantizer)
     "tx13_unigram_logprob",            # one-row corpus-total replication
     "a21_theta_audience_overlap",      # |event_types|^2 sketch-table self-pair
     "sim05_kmeans_assign",             # bounded codebook replication/round

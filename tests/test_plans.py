@@ -685,6 +685,42 @@ def test_ivf_recall_vs_bruteforce_ground_truth(spark):
         assert ivf[pair] == exact[pair], (pair, ivf[pair], exact[pair])
 
 
+def test_knn_graph_covers_queries_and_matches_exact_scores(spark):
+    """sim09 builds edges for EVERY clustered vector (full self-kNN, not
+    a query block); on the query-stride subset its rank-1 edge must hit
+    sim01's exact top-1 for most queries (cell membership bounds recall
+    exactly like sim04: single-probe measured 0.40 at sf0.01, the
+    shipped 2-probe 0.600 — deterministic, floor 0.6), and every
+    emitted edge carries the exact round-4 cosine."""
+    sfd = "/root/testdata/sf0.01"
+    rows = QUERIES["sim09_knn_graph"].fn(spark, sfd).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["vec_id"], {})[r["rank"]] = r
+    # coverage: far more sources than the bounded query block
+    exact_rows = QUERIES["sim01_ann_bruteforce_topk"].fn(spark, sfd).collect()
+    n_queries = len({r["query_id"] for r in exact_rows})
+    assert len(by_src) > 5 * n_queries
+    # ranks are contiguous from 1 per source
+    for src, ranked in by_src.items():
+        ks = sorted(ranked)
+        assert ks == list(range(1, len(ks) + 1)), (src, ks)
+    # rank-1 agreement with the exact ground truth on the query subset
+    exact_top1 = {
+        r["query_id"]: (r["neighbor_id"], r["cosine_sim"])
+        for r in exact_rows
+        if r["rank"] == 1
+    }
+    hits = 0
+    for q, (nbr, sim) in exact_top1.items():
+        got = by_src.get(q, {}).get(1)
+        if got is not None and got["neighbor_id"] == nbr:
+            assert got["cosine_sim"] == sim, (q, got["cosine_sim"], sim)
+            hits += 1
+    recall1 = hits / len(exact_top1)
+    assert recall1 >= 0.6, f"kNN-graph rank-1 recall = {recall1:.3f} < 0.6"
+
+
 def test_pq_recall_vs_bruteforce_ground_truth(spark):
     """Quantify the PQ approximation: with untrained seed codebooks
     (M=16 subspaces, K=64 entries) on sf0.01, recall vs sim01's exact
