@@ -138,6 +138,14 @@ DUCK_REPEATS = 5  # duckdb: median of 5 runs of the oracle SQL
 
 def _duck_connect() -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound the in-process baseline: DuckDB's default memory limit is
+    # ~80% of RAM, and next to a live 24 GB JVM + table caches a
+    # corpus-scale oracle (the sf10 probe OOM-killed this process at
+    # 104 GB RSS on dd14's banded self-join) takes the whole box down.
+    # 24 GB + /tmp spill matches scripts/scale_probe.py's correctness
+    # stage; a spilling baseline is a slow baseline, never a dead bench.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TPCH_TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         if os.path.isdir(p):  # generated SF dirs are multi-file parquet
