@@ -130,6 +130,14 @@ HEADLINE = [
     # cost ∝ batch, so it belongs in the per-SF probes
     "dd14_incremental_ingest_dedup",
     "mm02_decode_features",
+    # the composed curation funnel (oracled): quality -> near-dup ->
+    # decontaminate -> holdout in ONE attributed pass — the end-to-end
+    # number a training-data pipeline actually ships
+    "pipe01_curation_funnel",
+    # MMR diversified retrieval (rows-only: greedy re-rank, bit-exact
+    # Python-mirror tested): bounded-broadcast GEMM candidates + 40-row
+    # applyInPandas groups — re-rank cost is corpus-size-independent
+    "sim10_mmr_diverse_topk",
 ]
 
 REPEATS = 5  # spark: median of 5 full (plan + execute) runs

@@ -1,0 +1,201 @@
+"""End-to-end curation funnel: the composed training-data pipeline.
+
+Every stage here exists as a standalone operator (tx02 quality gates,
+dd02/dd04 near-dup, dd07 decontamination, smp01 hash split); this module
+pins the COMPOSITION — one query that takes the raw document pool to a
+training-ready kept set with first-failing-stage attribution per
+document, the shape a real curation run reports to its owners.
+
+Stage order (first failure wins, later stages only see survivors):
+
+1. ``quality``       — token-count floor (tx02's gate family)
+2. ``duplicate``     — near-duplicate loser (exact n-gram Jaccard,
+                       dd02 semantics; the larger doc_id of a pair drops)
+3. ``contaminated``  — shares >= 2 shingles with the benchmark slice
+                       (dd07 semantics, benchmark = doc_id % 97 == 0)
+4. ``holdout``       — md5-of-key eval split (smp01 semantics)
+5. ``kept``          — survives everything: the training set
+
+Scale note: the pair stage uses the EXACT shingle-join (dd02) because
+the funnel's oracle must be SQL-expressible end-to-end; at 100 TB the
+drop-in replacement is dd04's banded MinHash-LSH pair generator (same
+(doc_a, doc_b, jaccard) interface, bucketed instead of quadratic in
+shared-shingle groups). Everything else is already the scale shape:
+shingle equi-joins, a broadcast benchmark set, hash-split projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table, parallelize_scan
+from ..registry import register
+from .dedup import (
+    _CONTAM_MIN_SHARED,
+    _SQL_SHINGLES,
+    _SQL_TOKS,
+    JACCARD_THRESHOLD,
+    shingles,
+)
+from .textops import tokens
+
+PIPE_WC_MIN = 15  # quality gate: drops the short tail (~5% here)
+PIPE_HOLDOUT_NIBBLE = "f"  # md5 first hex char -> ~1/16 eval holdout
+
+
+@register(
+    "pipe01_curation_funnel",
+    oracle=f"""
+    WITH wcd AS (
+      SELECT doc_id, lang, source, {_SQL_TOKS} AS t,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS wc
+      FROM documents WHERE doc_id % 97 <> 0
+    ),
+    sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM wcd WHERE wc >= {PIPE_WC_MIN}
+    ),
+    ex AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS nsh FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS shared,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dupes AS (
+      SELECT DISTINCT doc_b AS doc_id FROM pairs
+      WHERE shared * 1.0 / (na + nb - shared) >= {JACCARD_THRESHOLD}
+    ),
+    bsh AS (
+      SELECT DISTINCT unnest({_SQL_SHINGLES}) AS s
+      FROM (SELECT {_SQL_TOKS} AS t FROM documents WHERE doc_id % 97 = 0)
+    ),
+    contam AS (
+      SELECT ex.doc_id FROM ex JOIN bsh ON ex.s = bsh.s
+      WHERE ex.doc_id NOT IN (SELECT doc_id FROM dupes)
+      GROUP BY ex.doc_id
+      HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}
+    )
+    SELECT w.doc_id, w.lang, w.source, w.wc,
+           CASE
+             WHEN w.wc < {PIPE_WC_MIN} THEN 'quality'
+             WHEN w.doc_id IN (SELECT doc_id FROM dupes) THEN 'duplicate'
+             WHEN w.doc_id IN (SELECT doc_id FROM contam)
+               THEN 'contaminated'
+             WHEN substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 1)
+                  = '{PIPE_HOLDOUT_NIBBLE}' THEN 'holdout'
+             ELSE 'kept'
+           END AS stage
+    FROM wcd w
+    """,
+)
+def pipe01_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw pool -> training set, with per-document drop attribution.
+
+    One row per input document, ``stage`` naming the first gate it
+    failed (or ``kept``). Composes the tested building blocks in their
+    production order; because every stage is deterministic (token
+    arithmetic, exact Jaccard rationals, md5 membership), the whole
+    funnel carries a value oracle end-to-end.
+
+    Plan shape: one scan of documents feeds the width/shingle
+    projections; the pair stage is a self-equi-join on shingle (the
+    only corpus-scale shuffle); the benchmark shingle set is tiny by
+    construction and broadcasts; every later stage is a key-only
+    semi/anti join against sets far smaller than the corpus. The
+    final attribution is LEFT joins of flag sets back onto the pool —
+    no window, no driver collection.
+    """
+    docs = parallelize_scan(
+        load_table(spark, sf_dir, "documents"), force=True
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    wcd = corpus.select(
+        "doc_id",
+        "lang",
+        "source",
+        tokens().alias("t"),
+        F.size(tokens()).cast("long").alias("wc"),
+    )
+    # projection barrier: shingle arrays are expensive — materialize the
+    # column once per row instead of letting CollapseProject inline the
+    # expression into each downstream consumer (shingle_arrays' trick)
+    sh = (
+        wcd.filter(F.col("wc") >= PIPE_WC_MIN)
+        .select("doc_id", shingles(F.col("t")).alias("sh"))
+        .repartition("doc_id")
+    )
+    ex = sh.select(
+        "doc_id", F.explode("sh").alias("s"), F.size("sh").alias("nsh")
+    )
+    # rename EVERY column on the right side of the self-join so the
+    # equi-predicate can't resolve trivially-true against shared names
+    # (round-5 sim07 lesson)
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"),
+        "s",
+        F.col("nsh").alias("na"),
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("s_b"),
+        F.col("nsh").alias("nb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("s") == F.col("s_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.any_value(F.col("na")).alias("na"),
+            F.any_value(F.col("nb")).alias("nb"),
+        )
+    )
+    dupes = (
+        pairs.filter(
+            F.col("shared")
+            * 1.0
+            / (F.col("na") + F.col("nb") - F.col("shared"))
+            >= JACCARD_THRESHOLD
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    bsh = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(shingles(tokens())).alias("s"))
+        .distinct()
+    )
+    contam = (
+        ex.join(dupes, "doc_id", "left_anti")
+        .join(F.broadcast(bsh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= _CONTAM_MIN_SHARED)
+        .select("doc_id")
+    )
+    dup_flag = dupes.withColumn("is_dup", F.lit(True))
+    con_flag = contam.withColumn("is_con", F.lit(True))
+    stage = (
+        F.when(F.col("wc") < PIPE_WC_MIN, "quality")
+        .when(F.col("is_dup"), "duplicate")
+        .when(F.col("is_con"), "contaminated")
+        .when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            == PIPE_HOLDOUT_NIBBLE,
+            "holdout",
+        )
+        .otherwise("kept")
+    )
+    return (
+        wcd.join(F.broadcast(dup_flag), "doc_id", "left")
+        .join(F.broadcast(con_flag), "doc_id", "left")
+        .select("doc_id", "lang", "source", "wc", stage.alias("stage"))
+    )

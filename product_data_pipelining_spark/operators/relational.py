@@ -1519,3 +1519,165 @@ def ev07_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         duck_round(F.max("gap_us") / F.lit(1e6), 3).alias("max_gap_s"),
     )
+
+
+@register(
+    "ev08_rate_anomaly",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, hr, c,
+             CAST(COUNT(c) OVER tw AS BIGINT) AS n_base,
+             CAST(SUM(c) OVER tw AS BIGINT) AS sx,
+             CAST(SUM(c * c) OVER tw AS BIGINT) AS sxx
+      FROM h
+      WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, c, n_base,
+             CASE WHEN n_base = 24
+                   AND n_base * sxx - sx * sx > 0
+                  THEN ROUND(
+                    (CAST(c AS DOUBLE) - CAST(sx AS DOUBLE) / n_base)
+                    / sqrt((CAST(n_base AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (CAST(n_base AS DOUBLE) * (n_base - 1))), 4)
+                  ELSE NULL END AS z
+      FROM w
+    )
+    SELECT event_type, hr, c, n_base, z,
+           COALESCE(z >= 3.0 OR z <= -3.0, FALSE) AS is_anomaly
+    FROM z
+    """,
+)
+def ev08_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: trailing-window z-score per type.
+
+    The monitoring query a continuously-ingesting pipeline runs over
+    its own landing rate: bucket events into per-type hourly counts,
+    then score each hour against the TRAILING 24 observed hours
+    (``ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING`` — the current hour
+    never contaminates its own baseline) and flag |z| >= 3. Warm-up
+    hours with fewer than 24 predecessors emit NULL z and are never
+    flagged, so the detector is well-defined from the first row.
+
+    Cross-engine float determinism: the frame aggregates are exact
+    BIGINT power sums (count, sum, sum of squares of integer counts);
+    mean/variance/z are derived from those integers with one identical
+    double expression on both sides — no order-dependent float
+    accumulation anywhere (pr02's moment contract, applied to a
+    window frame).
+
+    Scale shape: the pre-aggregation collapses the raw stream to
+    (type x hour) grain BEFORE the window — the window input is ~9k
+    rows per type-year regardless of corpus size, so the single
+    exchange on ``event_type`` moves kilobytes at any SF. At 100 TB
+    the same plan holds: one map-side-combined count, one tiny window.
+    """
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    w = h.select(
+        "event_type",
+        "hr",
+        "c",
+        F.count("c").over(tw).alias("n_base"),
+        F.sum("c").over(tw).alias("sx"),
+        F.sum(F.col("c") * F.col("c")).over(tw).alias("sxx"),
+    )
+    n_d = F.col("n_base").cast("double")
+    var_num = (
+        F.col("n_base") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    z = F.when(
+        (F.col("n_base") == 24) & (var_num > 0),
+        duck_round(
+            (F.col("c").cast("double") - F.col("sx").cast("double") / n_d)
+            / F.sqrt(
+                (n_d * F.col("sxx").cast("double")
+                 - F.col("sx").cast("double") * F.col("sx").cast("double"))
+                / (n_d * (F.col("n_base") - 1))
+            ),
+            4,
+        ),
+    )
+    return w.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hr"),
+        "c",
+        "n_base",
+        z.alias("z"),
+        F.coalesce(
+            (z >= 3.0) | (z <= -3.0), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
+@register(
+    "ev09_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    t AS (
+      SELECT cur, CAST(SUM(n) AS BIGINT) AS row_total FROM c GROUP BY cur
+    )
+    SELECT c.cur AS from_type, c.nxt AS to_type, c.n, t.row_total,
+           ROUND(CAST(c.n AS DOUBLE) / t.row_total, 6) AS p
+    FROM c JOIN t USING (cur)
+    """,
+)
+def ev09_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event journeys.
+
+    The user-journey summary behind funnel design (which step follows
+    which, empirically): order each user's stream by (ts, event_id) —
+    a total order, so the successor is well-defined — pair every
+    event with its successor, count (from, to) transitions, and
+    row-normalize into P(next | current). Row probabilities are exact
+    integer ratios rounded once, so cross-engine parity is trivial.
+
+    Scale shape: ev07's single user-keyed window exchange produces the
+    successor pairs; the transition count is a map-side-combined
+    aggregate on a |types|^2-bounded key space, and the normalizing
+    join is |types|-sized — broadcast, nothing corpus-scale after the
+    one window pass.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("cur").agg(F.sum("n").alias("row_total"))
+    return c.join(F.broadcast(t), "cur").select(
+        F.col("cur").alias("from_type"),
+        F.col("nxt").alias("to_type"),
+        "n",
+        "row_total",
+        duck_round(
+            F.col("n").cast("double") / F.col("row_total"), 6
+        ).alias("p"),
+    )

@@ -1602,3 +1602,177 @@ def sim08_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# sim10: MMR diversification — re-rank exact top-MMR_C candidates so the
+# emitted top-k trades relevance against redundancy. Lambda is exactly
+# 0.7, kept as the integer pair (7, 3) so every MMR score is exact
+# int64 arithmetic on the 1e-4 cosine grid.
+MMR_C = 40  # candidate pool per query fed to the re-ranker
+MMR_K = 10  # diversified results emitted per query
+MMR_LAM_NUM, MMR_LAM_DEN = 7, 3  # lambda = 0.7 as exact integers
+
+
+@register("sim10_mmr_diverse_topk")
+def sim10_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-rank: diverse top-k per query.
+
+    Plain top-k returns near-duplicates of each other whenever the
+    corpus has them (the retrieval half of a RAG/training-mix
+    pipeline hates that); MMR (Carbonell & Goldstein 1998) greedily
+    picks argmax of lambda*sim(q,d) - (1-lambda)*max_{s in S} sim(d,s),
+    so each pick is penalized by its similarity to what's already
+    selected. Greedy sequential selection is not SQL-expressible —
+    this is the rows-only + bit-exact-Python-mirror tier (sim05's
+    contract); determinism comes from doing ALL scoring on the 1e-4
+    integer cosine grid with neighbor_id tie-breaks.
+
+    Scale shape: two bounded stages. (1) sim01's partial-top-k GEMM
+    kernel, widened to MMR_C and carrying candidate vectors — each
+    corpus partition emits at most |queries| x MMR_C rows, never the
+    score matrix. (2) ``applyInPandas`` keyed on query_id: merge the
+    per-partition candidate pools (<= partitions x MMR_C rows), then
+    run the greedy loop over an MMR_C x MMR_C pairwise block — O(C^2)
+    doubles per query, corpus-size-independent. Only the bounded
+    query block broadcasts; the corpus streams once, columnar.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .limit(MAX_QUERY_BLOCK + 1)
+        .collect()
+    )
+    if len(q_rows) > MAX_QUERY_BLOCK:
+        raise ValueError(
+            f"sim10 query block exceeds MAX_QUERY_BLOCK={MAX_QUERY_BLOCK}; "
+            "shard the query batch or raise the cap deliberately"
+        )
+    key = (id(spark.sparkContext), "sim10")
+    prev = _LIVE_QUERY_BLOCK.pop(key, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    q_block = spark.sparkContext.broadcast(
+        (
+            [int(r.vec_id) for r in q_rows],
+            [list(map(float, r.embedding)) for r in q_rows],
+        )
+    )
+    _LIVE_QUERY_BLOCK[key] = q_block
+
+    cand_c = MMR_C
+
+    def candidates(batches):
+        # nested closure: pickled by value, workers don't need the repo
+        import numpy as np
+        import pandas as pd
+
+        q_ids, q_mat = q_block.value
+        Q = np.array(q_mat, dtype=np.float64)
+        qid = np.array(q_ids, dtype=np.int64)
+        q_nrm = np.sqrt(
+            np.sum(Q.astype(np.longdouble) ** 2, axis=1)
+        ).astype(np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_nrm = np.sqrt(
+                np.sum(C.astype(np.longdouble) ** 2, axis=1)
+            ).astype(np.float64)
+            dots = C.astype(np.longdouble) @ Q.astype(np.longdouble).T
+            sims = np.asarray(
+                dots / np.outer(c_nrm, q_nrm).astype(np.longdouble),
+                dtype=np.float64,
+            )
+            scaled = np.where(
+                sims >= 0,
+                np.floor(sims * 1e4 + 0.5),
+                np.ceil(sims * 1e4 - 0.5),
+            ).astype(np.int64)
+            out = {"query_id": [], "neighbor_id": [], "sim4": [], "pos": []}
+            for j in range(len(qid)):
+                col = scaled[:, j]
+                keyv = (np.int64(10000) - col) * np.int64(1 << 44) + vid
+                # hard-drop the self row BEFORE the cut: a max-sentinel
+                # key still survives when the batch has <= cand_c rows
+                vpos = np.flatnonzero(vid != qid[j])
+                if not len(vpos):
+                    continue
+                k = min(cand_c, len(vpos))
+                sub = np.argpartition(keyv[vpos], k - 1)[:k]
+                idx = vpos[sub[np.argsort(keyv[vpos][sub], kind="stable")]]
+                out["query_id"].extend([qid[j]] * len(idx))
+                out["neighbor_id"].extend(vid[idx])
+                out["sim4"].extend(col[idx])
+                out["pos"].extend(pdf.index[idx])
+            res = pd.DataFrame(out)
+            res["embedding"] = pdf["embedding"].loc[res.pop("pos")].values
+            yield res
+
+    pool = emb.select("vec_id", "embedding").mapInPandas(
+        candidates,
+        "query_id long, neighbor_id long, sim4 long, "
+        "embedding array<float>",
+    )
+
+    mmr_k, lam_n, lam_d = MMR_K, MMR_LAM_NUM, MMR_LAM_DEN
+
+    def mmr(pdf):
+        # nested closure: pickled by value
+        import numpy as np
+        import pandas as pd
+
+        # merge per-partition pools: global top-C on (sim desc, id asc)
+        pdf = pdf.sort_values(
+            ["sim4", "neighbor_id"], ascending=[False, True]
+        ).head(cand_c)
+        rel4 = pdf["sim4"].to_numpy(dtype=np.int64)
+        vid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        nrm = np.sqrt(np.sum(V.astype(np.longdouble) ** 2, axis=1)).astype(
+            np.float64
+        )
+        dots = V.astype(np.longdouble) @ V.astype(np.longdouble).T
+        pair = np.asarray(
+            dots / np.outer(nrm, nrm).astype(np.longdouble), dtype=np.float64
+        )
+        pair4 = np.where(
+            pair >= 0,
+            np.floor(pair * 1e4 + 0.5),
+            np.ceil(pair * 1e4 - 0.5),
+        ).astype(np.int64)
+        n = len(vid)
+        chosen: list[int] = []
+        scores: list[int] = []
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(min(mmr_k, n)):
+            if not chosen:
+                cand_score = lam_n * rel4
+            else:
+                max_div = pair4[:, chosen].max(axis=1)
+                cand_score = lam_n * rel4 - lam_d * max_div
+            cand_score = np.where(remaining, cand_score, np.int64(-(1 << 62)))
+            best = cand_score.max()
+            ties = np.flatnonzero(cand_score == best)
+            pick = ties[np.argmin(vid[ties])]
+            chosen.append(int(pick))
+            scores.append(int(best))
+            remaining[pick] = False
+        qid_val = int(pdf["query_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "query_id": [qid_val] * len(chosen),
+                "neighbor_id": vid[chosen],
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+                "relevance": rel4[chosen] / 1e4,
+                "mmr_score": np.array(scores, dtype=np.float64) / 1e5,
+            }
+        )
+
+    return pool.groupBy("query_id").applyInPandas(
+        mmr,
+        "query_id long, neighbor_id long, mmr_rank int, "
+        "relevance double, mmr_score double",
+    )

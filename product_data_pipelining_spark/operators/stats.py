@@ -727,3 +727,218 @@ def chk03_outlier_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             duck_round(F.col("mad"), 2).alias("mad_price"),
         )
     )
+
+
+# a23: count-min sketch — the frequency member of the sketch tier.
+# Width deliberately small relative to the key space so the fixture
+# actually exercises collisions (the CM guarantee est >= exact with
+# bounded overcount is only visible when cells are shared).
+CM_D = 4  # hash rows
+CM_W = 256  # counters per row
+
+
+def _sql_cm_cell(d_expr: str, key_expr: str) -> str:
+    """DuckDB twin of the CM cell index: md5-derived row hash mod width."""
+    return (
+        f"CAST('0x' || substr(md5(CAST({d_expr} AS VARCHAR) || '|' || "
+        f"CAST({key_expr} AS VARCHAR)), 1, 8) AS BIGINT) % {CM_W}"
+    )
+
+
+@register(
+    "a23_countmin_frequency",
+    oracle=f"""
+    WITH ex AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT d, CAST({_sql_cm_cell("d", "user_id")} AS BIGINT) AS w,
+             exact_cnt, user_id
+      FROM ex, unnest([{", ".join(map(str, range(CM_D)))}]) AS t(d)
+    ),
+    sk AS (
+      SELECT d, w, CAST(SUM(exact_cnt) AS BIGINT) AS c
+      FROM cells GROUP BY d, w
+    ),
+    est AS (
+      SELECT user_id, MIN(sk.c) AS cm_estimate
+      FROM cells JOIN sk USING (d, w) GROUP BY user_id
+    )
+    SELECT ex.user_id, ex.exact_cnt, est.cm_estimate,
+           est.cm_estimate - ex.exact_cnt AS overcount
+    FROM ex JOIN est USING (user_id)
+    """,
+)
+def a23_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates, audited against exact counts.
+
+    Completes the sketch tier (a20 HLL cardinality / a21 theta set
+    algebra / a22 KLL quantiles) with the frequency sketch: ``CM_D``
+    md5-derived hash rows of ``CM_W`` counters each; every key adds its
+    count to one cell per row, a point estimate reads the MINIMUM of
+    its cells. Unlike the other sketches this one is fully
+    SQL-expressible (the sketch IS a (d, w) -> sum table), so the whole
+    pipeline — build, query, and the overcount audit — carries a value
+    oracle. The classic guarantee (estimate >= exact, overcount
+    <= eps * N with prob 1 - delta) is pytest-pinned; the fixture's
+    key space (~150 users into 256 counters) forces real collisions so
+    ``overcount`` is visibly non-zero.
+
+    Scale shape: exact per-key counts first (ONE map-side-combined
+    groupBy — at 100 TB this is the same shuffle any frequency query
+    pays), then everything downstream is sketch-sized: the (d x w)
+    counter table is 1024 rows REGARDLESS of corpus size, broadcast
+    back to the key set for the min-of-cells read. Sketches from
+    disjoint corpus shards merge by cell-wise addition (same groupBy),
+    which is the production reason to carry one.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ex = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    ds = F.explode(F.array(*[F.lit(i) for i in range(CM_D)])).alias("d")
+    cells = ex.select("user_id", "exact_cnt", ds).withColumn(
+        "w",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("d").cast("string"),
+                        F.lit("|"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CM_W,
+    )
+    sk = cells.groupBy("d", "w").agg(F.sum("exact_cnt").alias("c"))
+    est = (
+        cells.select("user_id", "d", "w")
+        .join(F.broadcast(sk), ["d", "w"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return ex.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+# chk05: PSI drift — fixed-width price bins; domain chosen from the
+# generator's o_totalprice envelope (~1e3 .. 5e5).
+PSI_BIN_W = 25_000.0
+PSI_NB = 20
+PSI_BIN_ALERT = 0.005  # per-bin contribution worth surfacing
+
+
+@register(
+    "chk05_distribution_drift",
+    oracle=f"""
+    WITH snap_a AS (
+      SELECT o_totalprice AS p FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    snap_b AS (
+      SELECT CASE WHEN o_orderkey % 10 IN (5, 6)
+                  THEN o_totalprice * 1.2 ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey % 10 <> 7
+    ),
+    ca AS (
+      SELECT LEAST(CAST(FLOOR(p / {PSI_BIN_W}) AS BIGINT), {PSI_NB - 1})
+               AS bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM snap_a GROUP BY 1
+    ),
+    cb AS (
+      SELECT LEAST(CAST(FLOOR(p / {PSI_BIN_W}) AS BIGINT), {PSI_NB - 1})
+               AS bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM snap_b GROUP BY 1
+    ),
+    ta AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM ca),
+    tb AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cb),
+    spine AS (SELECT unnest(range({PSI_NB})) AS bin),
+    j AS (
+      SELECT spine.bin,
+             COALESCE(ca.c, 0) AS c_a, COALESCE(cb.c, 0) AS c_b,
+             (CAST(COALESCE(ca.c, 0) AS DOUBLE) + 1)
+               / (ta.t + {PSI_NB}) AS pa,
+             (CAST(COALESCE(cb.c, 0) AS DOUBLE) + 1)
+               / (tb.t + {PSI_NB}) AS pb
+      FROM spine LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin), ta, tb
+    )
+    SELECT bin, c_a, c_b,
+           ROUND((pa - pb) * ln(pa / pb), 6) AS psi_contrib,
+           ROUND((pa - pb) * ln(pa / pb), 6) >= {PSI_BIN_ALERT} AS drifted
+    FROM j
+    """,
+)
+def chk05_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two snapshots, per bin.
+
+    The distribution-drift monitor a feature pipeline runs between
+    yesterday's and today's landing: histogram both snapshots into
+    fixed-width bins, Laplace-smooth ((c+1)/(N+NB), so empty bins are
+    well-defined without eps hacks), and report each bin's PSI
+    contribution (p_a - p_b) * ln(p_a / p_b). Total PSI is the SUM of
+    this column (the usual read: < 0.1 stable, > 0.25 action);
+    per-bin rows localize WHICH part of the range moved, which the
+    scalar can't. Snapshots derive deterministically from one fixture
+    (chk04's membership trick, plus a +20% price shift on two key
+    classes) so both engines see identical drift.
+
+    Determinism: bin counts are exact integers on a fixed spine
+    (every bin present via the generated spine, zero-filled); the
+    smoothed p's and the ln are single identical double expressions
+    from those integers on both sides.
+
+    Scale shape: two map-side-combined histogram aggregations (the
+    only passes over data), then everything is NB-sized: spine join,
+    totals broadcast, one final projection. At 100 TB the histogram
+    shuffle carries NB rows per task — nothing scales with the
+    corpus but the scans.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mod = F.col("o_orderkey") % 10
+
+    def binned(df):
+        b = F.least(
+            F.floor(F.col("p") / PSI_BIN_W).cast("long"),
+            F.lit(PSI_NB - 1),
+        )
+        return df.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("c"))
+
+    ca = binned(o.filter(mod != 3).select(F.col("o_totalprice").alias("p")))
+    cb = binned(
+        o.filter(mod != 7).select(
+            F.when(mod.isin(5, 6), F.col("o_totalprice") * 1.2)
+            .otherwise(F.col("o_totalprice"))
+            .alias("p")
+        )
+    )
+    ta = ca.agg(F.sum("c").alias("t_a"))
+    tb = cb.agg(F.sum("c").alias("t_b"))
+    spine = spark.range(PSI_NB).select(F.col("id").alias("bin"))
+    j = (
+        spine.join(F.broadcast(ca.withColumnRenamed("c", "ca")), "bin", "left")
+        .join(F.broadcast(cb.withColumnRenamed("c", "cb")), "bin", "left")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    pa = (F.coalesce(F.col("ca"), F.lit(0)).cast("double") + 1) / (
+        F.col("t_a") + PSI_NB
+    )
+    pb = (F.coalesce(F.col("cb"), F.lit(0)).cast("double") + 1) / (
+        F.col("t_b") + PSI_NB
+    )
+    contrib = duck_round((pa - pb) * F.log(pa / pb), 6)
+    return j.select(
+        "bin",
+        F.coalesce(F.col("ca"), F.lit(0)).alias("c_a"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("c_b"),
+        contrib.alias("psi_contrib"),
+        (contrib >= PSI_BIN_ALERT).alias("drifted"),
+    )

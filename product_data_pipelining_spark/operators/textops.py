@@ -827,3 +827,214 @@ def tx13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lm_bucket"),
         (avg >= TX13_KEEP_MIN).alias("keep"),
     )
+
+
+TX14_TARGET_LANG = "en"  # the "high-quality target distribution" stand-in
+
+
+@register(
+    "tx14_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_sql_tokens()}) AS tok FROM documents
+    ),
+    tgt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS tc
+      FROM toks WHERE lang = '{TX14_TARGET_LANG}' GROUP BY tok
+    ),
+    raw AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS rc FROM toks GROUP BY tok
+    ),
+    tt AS (SELECT CAST(SUM(tc) AS BIGINT) AS tgt_total FROM tgt),
+    rt AS (SELECT CAST(SUM(rc) AS BIGINT) AS raw_total FROM raw),
+    lr AS (
+      SELECT raw.tok,
+             {_sql_scaled_long(
+                 "ln((CAST(tc AS DOUBLE) / tgt_total)"
+                 " / (CAST(rc AS DOUBLE) / raw_total))")} AS d6
+      FROM raw JOIN tgt USING (tok), tt, rt
+    ),
+    agg AS (
+      SELECT doc_id, ANY_VALUE(lang) AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n_scored,
+             CAST(SUM(d6) AS BIGINT) AS s6
+      FROM toks JOIN lr USING (tok) GROUP BY doc_id
+    )
+    -- + 0.0 canonicalizes IEEE negative zero: DuckDB ROUND keeps the
+    -- input's sign on a |x| < 0.5*10^-4 negative average (-0.0), Spark's
+    -- long-typed ceil path lands on +0.0; -0.0 + 0.0 = +0.0 and the add
+    -- is the identity everywhere else.
+    SELECT doc_id, lang, n_scored,
+           ROUND(CAST(s6 AS DOUBLE) / 1e6 / n_scored, 4) + 0.0 AS avg_logratio,
+           ROUND(CAST(s6 AS DOUBLE) / 1e6 / n_scored, 4) > 0.0 AS selected
+    FROM agg
+    """,
+)
+def tx14_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weight: target-vs-raw unigram log ratio.
+
+    Data Selection via Importance Resampling (Xie et al.,
+    arXiv:2302.03169) scores every raw document by how much more
+    likely its features are under a TARGET distribution than under
+    the raw pool, then samples proportionally to that weight. Here
+    both unigram LMs are fitted in-pipeline — target = the
+    ``lang = 'en'`` slice (the stand-in for "looks like my curated
+    set"), raw = the whole corpus — and each doc gets
+    avg over token instances of ln(p_target(tok) / p_raw(tok)).
+    ``selected`` keeps docs that score target-positive; downstream a
+    resampler (smp08's weighted pattern) would use exp(s6/1e6) as the
+    sampling weight directly. Tokens absent from the target slice are
+    skipped (inner join — add-nothing smoothing) identically on both
+    engines.
+
+    Fixture honesty: the synthetic corpus shares one 31-word
+    vocabulary across langs, so the signal is real but mild —
+    measured at sf0.01, 65% of target-lang docs score above the
+    corpus median vs 34-43% for each other lang. On a natural corpus
+    the ratio LM is far more discriminative; the mechanics (two
+    vocab-bounded LM fits + one broadcast instance join) are what
+    this operator pins.
+
+    Scale shape: tx13's, twice — both frequency tables are
+    vocab-bounded and broadcast; the per-doc score is one
+    partial-aggregated sum keyed on doc_id. Document text is
+    tokenized ONCE (`toks` reused by fit and score); nothing
+    driver-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.explode(tokens()).alias("tok"))
+    tgt = (
+        toks.filter(F.col("lang") == TX14_TARGET_LANG)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    raw = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("rc"))
+    tt = tgt.agg(F.sum("tc").alias("tgt_total"))
+    rt = raw.agg(F.sum("rc").alias("raw_total"))
+    lr = (
+        raw.join(tgt, "tok")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "tok",
+            _scaled_long(
+                F.log(
+                    (F.col("tc").cast("double") / F.col("tgt_total"))
+                    / (F.col("rc").cast("double") / F.col("raw_total"))
+                )
+            ).alias("d6"),
+        )
+    )
+    agg = (
+        toks.join(F.broadcast(lr), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("d6").alias("s6"),
+        )
+    )
+    avg = duck_round(
+        F.col("s6").cast("double") / F.lit(1e6) / F.col("n_scored"), 4
+    )
+    return agg.select(
+        "doc_id",
+        "lang",
+        "n_scored",
+        avg.alias("avg_logratio"),
+        (avg > 0.0).alias("selected"),
+    )
+
+
+TX15_MIN_PAIR_DOCS = 5  # drop pairs seen in fewer docs (PMI noise floor)
+
+
+@register(
+    "tx15_token_pmi",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest({_sql_tokens()}) AS tok
+      FROM documents
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM documents),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok
+    ),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+    )
+    SELECT tok_a, tok_b, n_ab, ua.df AS df_a, ub.df AS df_b,
+           ROUND(ln(CAST(n_ab AS DOUBLE) * nd.n_docs
+                    / (CAST(ua.df AS DOUBLE) * ub.df)), 6) AS pmi
+    FROM pairs
+    JOIN uni ua ON pairs.tok_a = ua.tok
+    JOIN uni ub ON pairs.tok_b = ub.tok, nd
+    WHERE n_ab >= {TX15_MIN_PAIR_DOCS}
+    """,
+)
+def tx15_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token co-occurrence PMI — collocation mining.
+
+    The vocabulary-analysis pass a corpus pipeline runs to find token
+    pairs that travel together (phrase candidates, template detection):
+    for tokens a < b, PMI = ln(P(a,b) / (P(a)P(b))) over document
+    co-occurrence, with a min-support floor so rare-pair noise never
+    surfaces. All probabilities are exact integer ratios entering ONE
+    ln per output row — deterministic across engines.
+
+    Scale shape: the distinct (doc, token) projection collapses term
+    frequency first (map-side combinable), the pair stage self-joins
+    on doc_id — per-doc work is O(v²) in the doc's DISTINCT vocabulary,
+    the standard co-occurrence cost. At 100 TB you bound v per doc
+    (top-v tokens by tf) before pairing, exactly like dd04 caps its
+    bucket fan-out; the fixture's 31-token vocabulary keeps v <= 31
+    here. Unigram document frequencies are vocab-bounded and broadcast
+    back onto the pair table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(tokens()).alias("tok")
+    ).distinct()
+    nd = docs.agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    uni = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    b = dt.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("tok").alias("tok_b")
+    )
+    pairs = (
+        dt.join(
+            b,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.col("tok") < F.col("tok_b")),
+        )
+        .groupBy(F.col("tok").alias("tok_a"), "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= TX15_MIN_PAIR_DOCS)
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "df_a",
+            "df_b",
+            duck_round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("df_a").cast("double") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -167,6 +167,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .sources import payload_queries  # noqa: F401
     from .operators import (  # noqa: F401
         cogroup,
+        curation,
         dedup,
         multimodal,
         profiling,

@@ -45,6 +45,9 @@ BNLJ_ALLOWED = {
     "dd13_semantic_dedup",             # fixed centroid-set replication (coarse quantizer)
     "sim09_knn_graph",                 # fixed centroid-set replication (coarse quantizer)
     "tx13_unigram_logprob",            # one-row corpus-total replication
+    "tx14_dsir_importance",            # two one-row LM-total replications
+    "chk05_distribution_drift",        # one-row snapshot-total replication
+    "tx15_token_pmi",                  # one-row corpus-total replication
     "a21_theta_audience_overlap",      # |event_types|^2 sketch-table self-pair
     "sim05_kmeans_assign",             # bounded codebook replication/round
     "chk02_outlier_zscore",            # 3-row broadcast moment re-scan
@@ -65,6 +68,7 @@ ARROW_ALLOWED = {
     "cg01_cogroup_reconcile",
     "sim01_ann_bruteforce_topk",  # partition-local numpy top-k (mapInPandas)
     "sim02x_ann_lsh_bucketed_np",  # Arrow/numpy scoring twin of sim02
+    "sim10_mmr_diverse_topk",  # GEMM candidate gen + greedy MMR re-rank
 }
 
 ARROW_NODES = re.compile(

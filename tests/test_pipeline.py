@@ -930,3 +930,252 @@ def test_rest_client_live_transport_against_stub_server():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_mmr_rerank_matches_python_mirror(spark, sf_dir):
+    """sim10's full output re-derived by an exact arithmetic mirror:
+    same longdouble GEMM, same 1e-4 integer cosine grid, same greedy
+    integer MMR recursion with neighbor_id tie-breaks — bit-exact."""
+    import numpy as np
+
+    from product_data_pipelining_spark.io import load_table
+    from product_data_pipelining_spark.operators.similarity import (
+        MMR_C,
+        MMR_K,
+        MMR_LAM_DEN,
+        MMR_LAM_NUM,
+        QUERY_STRIDE,
+        sim10_mmr_diverse_topk,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vid = np.array([r.vec_id for r in rows], dtype=np.int64)
+    V = np.array([list(map(float, r.embedding)) for r in rows], dtype=np.float64)
+    nrm = np.sqrt(np.sum(V.astype(np.longdouble) ** 2, axis=1)).astype(
+        np.float64
+    )
+
+    def grid4(x):
+        return np.where(
+            x >= 0, np.floor(x * 1e4 + 0.5), np.ceil(x * 1e4 - 0.5)
+        ).astype(np.int64)
+
+    expected = {}
+    for qi in np.flatnonzero(vid % QUERY_STRIDE == 0):
+        dots = V.astype(np.longdouble) @ V[qi].astype(np.longdouble)
+        sims = np.asarray(
+            dots / (nrm * nrm[qi]).astype(np.longdouble), dtype=np.float64
+        )
+        rel4 = grid4(sims)
+        key = (np.int64(10000) - rel4) * np.int64(1 << 44) + vid
+        key[qi] = np.iinfo(np.int64).max
+        order = np.argsort(key, kind="stable")[: min(MMR_C, len(vid) - 1)]
+        c_rel4, c_vid, C = rel4[order], vid[order], V[order]
+        c_nrm = nrm[order]
+        pair = np.asarray(
+            (C.astype(np.longdouble) @ C.astype(np.longdouble).T)
+            / np.outer(c_nrm, c_nrm).astype(np.longdouble),
+            dtype=np.float64,
+        )
+        pair4 = grid4(pair)
+        chosen, scores, remaining = [], [], np.ones(len(c_vid), dtype=bool)
+        for _ in range(min(MMR_K, len(c_vid))):
+            if not chosen:
+                cs = MMR_LAM_NUM * c_rel4
+            else:
+                cs = MMR_LAM_NUM * c_rel4 - MMR_LAM_DEN * pair4[
+                    :, chosen
+                ].max(axis=1)
+            cs = np.where(remaining, cs, np.int64(-(1 << 62)))
+            ties = np.flatnonzero(cs == cs.max())
+            pick = ties[np.argmin(c_vid[ties])]
+            chosen.append(int(pick))
+            scores.append(int(cs.max()))
+            remaining[pick] = False
+        for rank, (p, s) in enumerate(zip(chosen, scores), start=1):
+            expected[(int(vid[qi]), rank)] = (
+                int(c_vid[p]),
+                c_rel4[p] / 1e4,
+                s / 1e5,
+            )
+
+    got = sim10_mmr_diverse_topk(spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        exp_nid, exp_rel, exp_score = expected[(r.query_id, r.mmr_rank)]
+        assert r.neighbor_id == exp_nid, (r.query_id, r.mmr_rank)
+        assert r.relevance == exp_rel
+        assert r.mmr_score == exp_score
+    # structural: per-query scores are non-increasing in rank (growing
+    # selected set can only raise the diversity penalty)
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.mmr_rank, r.mmr_score))
+    for q, pairs in by_q.items():
+        seq = [s for _, s in sorted(pairs)]
+        assert all(a >= b for a, b in zip(seq, seq[1:])), q
+
+
+def test_countmin_guarantee_and_collisions(spark, sf_dir, ddb):
+    """a23's CM contract: estimate >= exact always (one-sided error),
+    and at the driver-gate SF the 150-key/256-counter geometry produces
+    real collisions — the sketch is exercised, not vacuous."""
+    from product_data_pipelining_spark.operators.stats import (
+        a23_countmin_frequency,
+    )
+
+    rows = a23_countmin_frequency(spark, sf_dir).collect()
+    assert rows
+    assert all(r.cm_estimate >= r.exact_cnt for r in rows)
+    assert all(r.overcount == r.cm_estimate - r.exact_cnt for r in rows)
+    # collision visibility at sf0.01 — DuckDB-side (cheap, no extra Spark)
+    from product_data_pipelining_spark.registry import all_queries
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.01/events.parquet'"
+    )
+    df = con.execute(all_queries()["a23_countmin_frequency"].oracle).df()
+    con.close()
+    assert (df["overcount"] > 0).any(), "no collisions — sketch vacuous"
+
+
+def test_rate_anomaly_warmup_and_flag_contract(spark, sf_dir):
+    """ev08: warm-up hours (n_base < 24) never flag and carry NULL z;
+    every flagged hour has |z| >= 3 on the rounded grid."""
+    from product_data_pipelining_spark.operators.relational import (
+        ev08_rate_anomaly,
+    )
+
+    rows = ev08_rate_anomaly(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.n_base < 24:
+            assert r.z is None and r.is_anomaly is False
+        if r.is_anomaly:
+            assert r.z is not None and abs(r.z) >= 3.0
+        if r.z is not None and abs(r.z) >= 3.0:
+            assert r.is_anomaly
+    assert any(r.is_anomaly for r in rows), "no anomalies at this SF"
+
+
+def test_psi_drift_localizes_to_inflated_tail(spark, sf_dir):
+    """chk05: the +20%-price perturbation must surface as positive
+    total PSI with the capped top bin flagged (mass pushed past the
+    range cap piles up there); unperturbed bins stay an order of
+    magnitude below the alert threshold."""
+    from product_data_pipelining_spark.operators.stats import (
+        PSI_NB,
+        chk05_distribution_drift,
+    )
+
+    rows = {r.bin: r for r in chk05_distribution_drift(spark, sf_dir).collect()}
+    assert set(rows) == set(range(PSI_NB))
+    total = sum(r.psi_contrib for r in rows.values())
+    assert total > 0.01
+    assert rows[PSI_NB - 1].drifted
+    assert rows[PSI_NB - 1].c_b > rows[PSI_NB - 1].c_a
+
+
+def test_dsir_target_lang_ranks_highest(spark, sf_dir):
+    """tx14: the target-lang slice must be selected at a strictly
+    higher rate than every other lang — the importance weight carries
+    real (if fixture-mild) signal."""
+    from product_data_pipelining_spark.operators.textops import (
+        TX14_TARGET_LANG,
+        tx14_dsir_importance,
+    )
+
+    rows = tx14_dsir_importance(spark, sf_dir).collect()
+    sel: dict = {}
+    for r in rows:
+        n, k = sel.get(r.lang, (0, 0))
+        sel[r.lang] = (n + 1, k + (1 if r.selected else 0))
+    rates = {lang: k / n for lang, (n, k) in sel.items()}
+    tgt = rates.pop(TX14_TARGET_LANG)
+    assert all(tgt > r for r in rates.values()), rates
+
+
+def test_bucketed_merge_prunes_and_matches(spark, tmp_path):
+    """BucketedParquetUpsertTarget: merge result == full last-writer-wins
+    replay, unaffected bucket directories are byte-identical (pruned,
+    not rewritten), and a complete orphaned stage heals on next read."""
+    import os
+
+    from product_data_pipelining_spark.operators.upsert import (
+        BucketedParquetUpsertTarget,
+    )
+
+    path = str(tmp_path / "tgt")
+    t = BucketedParquetUpsertTarget(spark, path, n_buckets=8)
+    batch1 = spark.createDataFrame(
+        [(k, 1, f"a{k}") for k in range(100)], "k long, v long, payload string"
+    )
+    t.merge(batch1, keys=["k"], version_col="v")
+
+    def bucket_files():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("__pdp_bucket__="):
+                out[d] = sorted(os.listdir(os.path.join(path, d)))
+        return out
+
+    before = bucket_files()
+    assert len(before) >= 2  # 100 keys spread over 8 buckets
+
+    # batch 2: update 3 keys (newer version), insert 2, stale-replay 1
+    batch2 = spark.createDataFrame(
+        [
+            (0, 2, "new0"),
+            (1, 2, "new1"),
+            (2, 2, "new2"),
+            (1000, 1, "ins1000"),
+            (1001, 1, "ins1001"),
+            (3, 0, "stale3"),  # older version: must NOT win
+        ],
+        "k long, v long, payload string",
+    )
+    affected = {
+        r[0]
+        for r in batch2.select(t._bucket_col(["k"]).alias("b"))
+        .distinct()
+        .collect()
+    }
+    t.merge(batch2, keys=["k"], version_col="v")
+
+    after = bucket_files()
+    assert set(after) >= set(before)
+    for d, files in before.items():
+        if int(d.split("=")[1]) not in affected:
+            assert after[d] == files, f"unaffected bucket {d} was rewritten"
+    assert not os.path.exists(path + "_next"), "stage not cleaned up"
+
+    got = {r.k: (r.v, r.payload) for r in t.read().collect()}
+    exp = {k: (1, f"a{k}") for k in range(100)}
+    exp.update({0: (2, "new0"), 1: (2, "new1"), 2: (2, "new2"),
+                1000: (1, "ins1000"), 1001: (1, "ins1001")})
+    assert got == exp
+
+    # heal: fabricate a "crashed after stage write" state — a complete
+    # stage holding a rewritten bucket — and confirm read() promotes it
+    some_bucket = sorted(after)[0]
+    stage = path + "_next"
+    os.makedirs(stage)
+    open(os.path.join(stage, "_SUCCESS"), "w").close()
+    os.rename(os.path.join(path, some_bucket), os.path.join(stage, some_bucket))
+    assert t.read() is not None  # heals: bucket promoted back in
+    assert not os.path.exists(stage)
+    assert {r.k: (r.v, r.payload) for r in t.read().collect()} == exp
+
+    # incomplete stage (no _SUCCESS) is discarded, target untouched
+    os.makedirs(stage)
+    os.makedirs(os.path.join(stage, some_bucket))
+    assert {r.k: (r.v, r.payload) for r in t.read().collect()} == exp
+    assert not os.path.exists(stage)

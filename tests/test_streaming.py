@@ -435,3 +435,40 @@ def test_streaming_sink_fragmentation_healed_by_compaction(spark, replay_dir, tm
         .collect()[0]
     )
     assert (before["s"], before["n"]) == (after["s"], after["n"])
+
+
+def test_foreach_batch_upsert_into_bucketed_target(spark, replay_dir, tmp_path):
+    """Streaming micro-batches merged through the partition-pruned
+    bucketed target: same final state as the batch last-writer-wins
+    replay, arrived at by rewriting only matched buckets per batch."""
+    from product_data_pipelining_spark.operators.upsert import (
+        BucketedParquetUpsertTarget,
+    )
+    from product_data_pipelining_spark.streaming.stateful import (
+        foreach_batch_upsert,
+    )
+
+    path = str(tmp_path / "bucketed_target")
+    tgt = BucketedParquetUpsertTarget(spark, path, n_buckets=8)
+    src = _stream_source(spark, replay_dir).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    q = foreach_batch_upsert(
+        src, path, ["user_id", "event_type"], "ts", target=tgt
+    )
+    q.awaitTermination(180)
+    got = tgt.read()
+    assert got is not None
+    batch = spark.read.parquet(replay_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").desc())
+    want = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    assert got.count() == want.count()
+    g = {(r["user_id"], r["event_type"], r["ts"]) for r in got.collect()}
+    wv = {(r["user_id"], r["event_type"], r["ts"]) for r in want.collect()}
+    assert g == wv
