@@ -450,3 +450,129 @@ def smp08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(SMP08_K)
     )
+
+
+# Target language mixture for the epoch planner: what the training run
+# WANTS each language's token share to be, independent of what the crawl
+# happened to collect. Weights sum to 1; langs absent from the corpus
+# contribute nothing, corpus langs absent here get weight 0 (excluded
+# from the plan output — nothing is scheduled for them).
+SMP09_TARGET_WEIGHTS: dict[str, float] = {
+    "en": 0.30,
+    "zh": 0.25,
+    "de": 0.15,
+    "fr": 0.15,
+    "es": 0.15,
+}
+SMP09_BUDGET_MULT = 1.0  # total training tokens = 1.0x the corpus total
+
+
+@register(
+    "smp09_mixture_epoch_plan",
+    oracle=f"""
+    WITH src AS (
+      SELECT lang, source,
+             CAST(SUM(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS BIGINT) AS src_tokens
+      FROM documents GROUP BY lang, source
+    ),
+    lng AS (
+      SELECT lang, CAST(SUM(src_tokens) AS BIGINT) AS lang_tokens,
+             SUM(SUM(src_tokens)) OVER () AS corpus_tokens
+      FROM src GROUP BY lang
+    ),
+    plan AS (
+      SELECT lang, lang_tokens,
+             CASE {' '.join(f"WHEN lang = '{k}' THEN {v}" for k, v in SMP09_TARGET_WEIGHTS.items())}
+                  ELSE 0.0 END AS target_weight,
+             CAST(corpus_tokens AS DOUBLE) * {SMP09_BUDGET_MULT}
+               * CASE {' '.join(f"WHEN lang = '{k}' THEN {v}" for k, v in SMP09_TARGET_WEIGHTS.items())}
+                      ELSE 0.0 END / lang_tokens AS epochs_raw
+      FROM lng
+    )
+    SELECT s.lang, s.source, s.src_tokens, p.lang_tokens, p.target_weight,
+           ROUND(p.epochs_raw, 4) AS epochs,
+           CAST(FLOOR(p.epochs_raw) AS BIGINT) AS whole_epochs,
+           ROUND(p.epochs_raw - FLOOR(p.epochs_raw), 4) AS partial_keep_rate,
+           ROUND(p.epochs_raw * s.src_tokens, 2) AS src_target_tokens
+    FROM src s JOIN plan p USING (lang)
+    WHERE p.target_weight > 0
+    """,
+)
+def smp09_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture epoch planner: per-source token schedule with
+    oversampling.
+
+    The budgeting pass a training run does BEFORE any sampling executes
+    (the LLaMA-style "data mixture" table): given target language
+    weights and a total token budget (here 1.0x the corpus), compute
+    each language's required epochs = target_tokens / available_tokens.
+    epochs < 1 means downsample (keep partial_keep_rate of one pass —
+    smp06's rate filter executes it); epochs > 1 means the domain is
+    SCARCE and must repeat: whole_epochs full passes plus a
+    partial_keep_rate-sampled final pass (smp07's epoch shuffle provides
+    the distinct per-pass orders). Per-source targets allocate the
+    language budget proportionally, preserving the within-language
+    source mix. On this fixture en runs at ~0.7 epochs while zh needs
+    ~1.6 — both planner branches are exercised.
+
+    All inputs to the ratios are exact BIGINT token sums, so the
+    doubles agree bit-for-bit across engines; outputs land on fixed
+    rounding grids.
+
+    Scale shape: one corpus scan into a map-side-combined
+    (lang, source) aggregate (|langs|x|sources| rows); everything after
+    — the per-lang re-agg, the corpus-total window, the plan join —
+    runs on that tiny table. Nothing corpus-sized ever shuffles, same
+    plan at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.rounding import duck_round
+    from .textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("lang", "source").agg(
+        F.sum(F.size(tokens())).alias("src_tokens")
+    )
+    everything = Window.partitionBy()
+    lng = (
+        src.groupBy("lang")
+        .agg(F.sum("src_tokens").alias("lang_tokens"))
+        .withColumn(
+            "corpus_tokens", F.sum("lang_tokens").over(everything)
+        )
+    )
+    weight = F.lit(0.0)
+    for k, v in SMP09_TARGET_WEIGHTS.items():
+        weight = F.when(F.col("lang") == k, F.lit(v)).otherwise(weight)
+    plan = lng.select(
+        "lang",
+        "lang_tokens",
+        weight.alias("target_weight"),
+        (
+            F.col("corpus_tokens").cast("double")
+            * F.lit(SMP09_BUDGET_MULT)
+            * weight
+            / F.col("lang_tokens")
+        ).alias("epochs_raw"),
+    )
+    return (
+        src.join(F.broadcast(plan), "lang")
+        .filter(F.col("target_weight") > 0)
+        .select(
+            "lang",
+            "source",
+            "src_tokens",
+            "lang_tokens",
+            "target_weight",
+            duck_round(F.col("epochs_raw"), 4).alias("epochs"),
+            F.floor("epochs_raw").cast("long").alias("whole_epochs"),
+            duck_round(
+                F.col("epochs_raw") - F.floor("epochs_raw"), 4
+            ).alias("partial_keep_rate"),
+            duck_round(
+                F.col("epochs_raw") * F.col("src_tokens"), 2
+            ).alias("src_target_tokens"),
+        )
+    )

@@ -1103,6 +1103,37 @@ def test_dsir_target_lang_ranks_highest(spark, sf_dir):
     assert all(tgt > r for r in rates.values()), rates
 
 
+def test_mixture_plan_conserves_budget(spark, sf_dir):
+    """smp09: the epoch plan must CONSERVE the token budget — summing
+    src_target_tokens over every scheduled source recovers
+    target_weight * budget per language (to rounding), and the epoch
+    decomposition is exact (epochs = whole + partial on the 1e-4
+    grid). Both planner branches must be live on the fixture:
+    at least one lang downsampling (<1 epoch) and one oversampling."""
+    from product_data_pipelining_spark.operators.sampling import (
+        SMP09_BUDGET_MULT,
+        SMP09_TARGET_WEIGHTS,
+        smp09_mixture_epoch_plan,
+    )
+
+    rows = smp09_mixture_epoch_plan(spark, sf_dir).collect()
+    assert rows
+    corpus = sum({r.lang: r.lang_tokens for r in rows}.values())
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+        assert abs(r.epochs - (r.whole_epochs + r.partial_keep_rate)) < 2e-4
+        assert 0.0 <= r.partial_keep_rate < 1.0
+    epochs = {}
+    for lang, rs in by_lang.items():
+        target = SMP09_TARGET_WEIGHTS[lang] * SMP09_BUDGET_MULT * corpus
+        got = sum(r.src_target_tokens for r in rs)
+        assert abs(got - target) / target < 1e-3, (lang, got, target)
+        epochs[lang] = rs[0].epochs
+    assert any(e < 1.0 for e in epochs.values()), epochs
+    assert any(e > 1.0 for e in epochs.values()), epochs
+
+
 def test_bucketed_merge_prunes_and_matches(spark, tmp_path):
     """BucketedParquetUpsertTarget: merge result == full last-writer-wins
     replay, unaffected bucket directories are byte-identical (pruned,
