@@ -42,6 +42,11 @@ from product_data_pipelining_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# 1 = skip the in-process DuckDB baseline entirely (duckdb_total_sec = 0,
+# ratio_vs_duckdb = null). Used by the CPU strong-scaling probe, which
+# re-runs the Spark side at several core counts and has no use for four
+# identical single-threaded baselines.
+SKIP_DUCKDB = os.environ.get("SPARK_GRAFT_SKIP_DUCKDB", "0") == "1"
 
 # serving posture: hot base tables live in the in-memory columnar cache
 # (repartitioned once at materialization) — see io.load_table — and each
@@ -181,7 +186,7 @@ def main() -> None:
         except Exception as exc:  # never let warm-up kill the bench
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
     for name in HEADLINE:
-        if specs[name].oracle is not None:
+        if specs[name].oracle is not None and not SKIP_DUCKDB:
             try:
                 con.execute(specs[name].oracle).fetchall()
             except Exception as exc:
@@ -202,7 +207,7 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
         print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
-        if spec.oracle is not None:
+        if spec.oracle is not None and not SKIP_DUCKDB:
             try:
                 dsamples = []
                 for _ in range(DUCK_REPEATS):
