@@ -47,6 +47,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # re-runs the Spark side at several core counts and has no use for four
 # identical single-threaded baselines.
 SKIP_DUCKDB = os.environ.get("SPARK_GRAFT_SKIP_DUCKDB", "0") == "1"
+# Probe override for REPEATS below: multi-leg probes at big SFs trade
+# median-of-5 for median-of-3 to fit several legs in one session.
+_REPEATS_ENV = os.environ.get("SPARK_GRAFT_REPEATS")
 
 # serving posture: hot base tables live in the in-memory columnar cache
 # (repartitioned once at materialization) — see io.load_table — and each
@@ -145,8 +148,8 @@ HEADLINE = [
     "sim10_mmr_diverse_topk",
 ]
 
-REPEATS = 5  # spark: median of 5 full (plan + execute) runs
-DUCK_REPEATS = 5  # duckdb: median of 5 runs of the oracle SQL
+REPEATS = int(_REPEATS_ENV) if _REPEATS_ENV else 5  # spark: median of N full (plan + execute) runs
+DUCK_REPEATS = REPEATS  # duckdb: same sample count for the oracle SQL
 
 
 def _duck_connect() -> duckdb.DuckDBPyConnection:

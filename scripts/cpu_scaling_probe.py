@@ -40,12 +40,13 @@ REPO = Path(__file__).resolve().parents[1]
 FLOOR_SEC = 0.5
 
 
-def run_bench(sf_dir: str, cpus: int) -> dict:
+def run_bench(sf_dir: str, cpus: int, repeats: int) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SKIP_DUCKDB="1",
+        SPARK_GRAFT_REPEATS=str(repeats),
     )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
@@ -61,6 +62,9 @@ def main() -> None:
                          "scale_probe.py --sf 1 first)")
     ap.add_argument("--cores", default="4,8,16,32",
                     help="comma-separated local[N] core counts, ascending")
+    ap.add_argument("--repeats", type=int, default=5,
+                    help="bench repeats per query (median taken); big-SF "
+                         "multi-leg runs use 3 to fit one session")
     args = ap.parse_args()
 
     cores = [int(c) for c in args.cores.split(",")]
@@ -72,7 +76,7 @@ def main() -> None:
 
     runs: dict[str, dict] = {}
     for n in cores:
-        runs[str(n)] = run_bench(args.sf_dir, n)
+        runs[str(n)] = run_bench(args.sf_dir, n, args.repeats)
         print(f"# cores={n}: total {runs[str(n)]['value']}s",
               file=sys.stderr)
 
