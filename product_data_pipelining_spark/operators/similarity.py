@@ -185,11 +185,13 @@ def sim01_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     small side" plan; a corpus-proportional query set trips the assert
     instead of silently OOMing the driver.
 
-    Numeric parity with the sequential-double DuckDB oracle: products of
-    float32 elements are exact in float64; the dot-sum accumulates in
-    extended precision (longdouble) before the final double rounding, so
-    the 4-decimal rounded cosine agrees with the oracle's left-to-right
-    double sum (verified exhaustively at sf0.01 and sf0.1).
+    Numeric parity with the sequential-double DuckDB oracle: the bulk
+    scores in float64 BLAS, and any pair whose scaled cosine lands
+    within 1e-6 of a 4 dp rounding boundary is re-accumulated in
+    extended precision (longdouble) before the final double rounding,
+    so the 4-decimal rounded cosine agrees with the oracle's
+    left-to-right double sum (verified exhaustively at sf0.01/sf0.1)
+    while the GEMM keeps its BLAS path.
     """
     # no scan heal here: the BLAS kernel makes this IO-bound, so extra
     # partitions only multiply Python-worker round-trips at small SF (at
@@ -237,7 +239,8 @@ def sim01_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_nrm = np.sqrt(
             np.sum(Q.astype(np.longdouble) ** 2, axis=1)
         ).astype(np.float64)
-        sim_chunks, vid_chunks = [], []
+        Qn = Q / q_nrm[:, None]  # pre-normalized once per task
+        scaled_chunks, vid_chunks = [], []
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -246,28 +249,61 @@ def sim01_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             c_nrm = np.sqrt(
                 np.sum(C.astype(np.longdouble) ** 2, axis=1)
             ).astype(np.float64)
-            # extended-precision accumulation of exact f32*f32 products
-            dots = C.astype(np.longdouble) @ Q.astype(np.longdouble).T
-            sim_chunks.append(
-                np.asarray(
-                    dots / np.outer(c_nrm, q_nrm).astype(np.longdouble),
-                    dtype=np.float64,
-                )
+            # float64 BLAS on pre-normalized vectors for the bulk
+            # (longdouble matmul has no BLAS path — scalar loops,
+            # measured far slower and flat across cores; a post-hoc
+            # |corpus|x|queries| outer/divide pass costs more memory
+            # bandwidth than the GEMM itself), then longdouble
+            # refinement with the ORIGINAL dot/(|c||q|) formula for
+            # the rare pairs whose scaled cosine lands within 1e-6 of
+            # a 4 dp rounding boundary, where a summation-order ulp
+            # could flip the rounded value (sim02x's verified
+            # technique). Both float64 paths sit ~1e-14 scaled units
+            # from the true cosine — 8 orders inside the 1e-6 gate —
+            # so every non-flagged pair rounds identically under
+            # either formula, and flagged pairs get the exact value.
+            sims = (C / c_nrm[:, None]) @ Qn.T
+            # in-place |sims|*1e4 + 0.5: the half-away-from-zero grid
+            # in two array passes instead of np.where's six
+            a = np.abs(sims)
+            a *= 1e4
+            a += 0.5
+            b = np.rint(a)
+            np.subtract(b, a, out=b)
+            np.abs(b, out=b)
+            near = b < 1e-6
+            if near.any():
+                Cl = C.astype(np.longdouble)
+                Ql = Q.astype(np.longdouble)
+                for i, j in zip(*np.nonzero(near)):
+                    sims[i, j] = np.float64(
+                        np.dot(Cl[i], Ql[j])
+                        / np.longdouble(c_nrm[i] * q_nrm[j])
+                    )
+                av = np.abs(sims[near])
+                av *= 1e4
+                av += 0.5
+                a[near] = av
+            np.floor(a, out=a)
+            # duck_round to the 1e-4 grid as int64 — ranking happens
+            # on the ROUNDED value (ties broken by neighbor_id), same
+            # as the oracle; sign restores ceil(x-0.5) for negatives
+            scaled_chunks.append(
+                (a * np.sign(sims)).astype(np.int64)
             )
-        if not sim_chunks:
+        if not scaled_chunks:
             return
-        sims = np.concatenate(sim_chunks)  # (corpus_part, nq)
+        # transpose to (nq, corpus_part) and make rows contiguous: the
+        # per-query selection below walks one query at a time, and a
+        # strided column gather over the C-ordered score matrix costs
+        # a cache line per element (measured ~3x the whole stage)
+        scaled = np.ascontiguousarray(
+            np.concatenate(scaled_chunks).T
+        )  # (nq, corpus_part)
         vid = np.concatenate(vid_chunks)
-        # duck_round to the 1e-4 grid as int64 — ranking happens on the
-        # ROUNDED value (ties broken by neighbor_id), same as the oracle
-        scaled = np.where(
-            sims >= 0,
-            np.floor(sims * 1e4 + 0.5),
-            np.ceil(sims * 1e4 - 0.5),
-        ).astype(np.int64)
         out = {"query_id": [], "neighbor_id": [], "cosine_sim": []}
         for j in range(len(qid)):
-            col = scaled[:, j]
+            col = scaled[j]
             # composite ascending key: (-rounded_sim, neighbor_id)
             key = (np.int64(10000) - col) * np.int64(1 << 44) + vid
             key[vid == qid[j]] = np.iinfo(np.int64).max  # drop self
@@ -1673,6 +1709,7 @@ def sim10_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_nrm = np.sqrt(
             np.sum(Q.astype(np.longdouble) ** 2, axis=1)
         ).astype(np.float64)
+        Qn = Q / q_nrm[:, None]  # pre-normalized once per task
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1681,19 +1718,43 @@ def sim10_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             c_nrm = np.sqrt(
                 np.sum(C.astype(np.longdouble) ** 2, axis=1)
             ).astype(np.float64)
-            dots = C.astype(np.longdouble) @ Q.astype(np.longdouble).T
-            sims = np.asarray(
-                dots / np.outer(c_nrm, q_nrm).astype(np.longdouble),
-                dtype=np.float64,
+            # float64 BLAS on pre-normalized vectors + in-place grid +
+            # longdouble boundary refinement with the ORIGINAL
+            # dot/(|c||q|) formula: sim01's hybrid — grid values
+            # provably unchanged (both float64 paths are ~1e-14 scaled
+            # units from the true cosine, 8 orders inside the 1e-6
+            # boundary gate), and the mirror test re-derives the full
+            # output in longdouble
+            sims = (C / c_nrm[:, None]) @ Qn.T
+            a = np.abs(sims)
+            a *= 1e4
+            a += 0.5
+            b = np.rint(a)
+            np.subtract(b, a, out=b)
+            np.abs(b, out=b)
+            near = b < 1e-6
+            if near.any():
+                Cl = C.astype(np.longdouble)
+                Ql = Q.astype(np.longdouble)
+                for i, j in zip(*np.nonzero(near)):
+                    sims[i, j] = np.float64(
+                        np.dot(Cl[i], Ql[j])
+                        / np.longdouble(c_nrm[i] * q_nrm[j])
+                    )
+                av = np.abs(sims[near])
+                av *= 1e4
+                av += 0.5
+                a[near] = av
+            np.floor(a, out=a)
+            # transpose to (nq, batch) with contiguous per-query rows:
+            # strided column gathers over the C-ordered score matrix
+            # cost a cache line per element in the selection loop
+            scaled = np.ascontiguousarray(
+                (a * np.sign(sims)).astype(np.int64).T
             )
-            scaled = np.where(
-                sims >= 0,
-                np.floor(sims * 1e4 + 0.5),
-                np.ceil(sims * 1e4 - 0.5),
-            ).astype(np.int64)
             out = {"query_id": [], "neighbor_id": [], "sim4": [], "pos": []}
             for j in range(len(qid)):
-                col = scaled[:, j]
+                col = scaled[j]
                 keyv = (np.int64(10000) - col) * np.int64(1 << 44) + vid
                 # hard-drop the self row BEFORE the cut: a max-sentinel
                 # key still survives when the batch has <= cand_c rows

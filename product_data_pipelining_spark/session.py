@@ -52,9 +52,25 @@ def get_spark(
     shuffle_partitions = os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus)
     )
+    # One BLAS thread per Python worker: task-level parallelism is
+    # Spark's job. Without this every numpy-kernel task spawns an
+    # OpenBLAS pool sized to ALL machine cores — at local[32] that is
+    # 32 workers x 32 BLAS threads = 1024 runnable threads, and sim01's
+    # sf10 GEMM measured 8.9 s stable on 8 cores but 12-84 s THRASHING
+    # on 32. Same rule a cluster deployment applies per executor core.
+    # Set in our own env first (local-mode Python workers inherit the
+    # driver's env through the JVM) and as executorEnv for cluster mode.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS", "BLIS_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        # cluster-mode twin of the BLAS pinning above (local-mode
+        # workers already inherit it via os.environ)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         # --- adaptive execution: the scale story ---
         .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
