@@ -32,6 +32,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # compute-heavy operators pass force=True instead
 _MIN_HEAL_BYTES = 1024 * 1024
 
+# per-task hash-build budget for the shuffle_hash hint: SHJ builds are
+# unspillable, so past ~256 MiB/partition the spillable SortMergeJoin is
+# the safer default (see broadcast_or_shuffle_hash)
+SHJ_TASK_BUDGET_BYTES = 256 * 1024 * 1024
+
 
 def parallelize_scan(df: DataFrame, force: bool = False) -> DataFrame:
     """Heal degenerate scan parallelism.
@@ -183,10 +188,17 @@ def broadcast_or_shuffle_hash(df: DataFrame, *base: DataFrame) -> DataFrame:
     SortMergeJoin, which sorts BOTH sides — for a narrow build side that
     comfortably fits a task's memory (dimension enrichments, pre-
     aggregated fact keys), building a per-partition hash table and
-    streaming the probe side unsorted is strictly cheaper. The caller
-    owns the fits-in-a-task claim; per-partition build size is
-    total/shuffle-partitions and AQE's skew splitting still applies on
-    cluster paths. A broadcast-eligible df never reaches the hint, so
+    streaming the probe side unsorted is strictly cheaper.
+
+    ShuffledHashJoin's build side CANNOT SPILL — if the fits-in-a-task
+    claim fails (skewed key, underestimated build relation) the task
+    OOMs instead of degrading, and AQE skew splitting does not protect
+    the in-memory hash build. So past the broadcast threshold a second
+    guard runs: the hint is applied only while the estimated
+    *per-partition* build size (base bytes / shuffle partitions) stays
+    under ``SHJ_TASK_BUDGET_BYTES``; beyond that the relation is
+    returned unhinted and the planner's SortMergeJoin — which spills —
+    takes over. A broadcast-eligible df never reaches the hint, so
     small-SF plans keep their BroadcastHashJoin shape.
     """
     from pyspark.sql import functions as F
@@ -194,6 +206,15 @@ def broadcast_or_shuffle_hash(df: DataFrame, *base: DataFrame) -> DataFrame:
     hinted = broadcast_if_small(df, *base)
     if hinted is not df:  # broadcast hint applied
         return hinted
+    spark = df.sparkSession
+    parts = int(str(spark.conf.get("spark.sql.shuffle.partitions", "200")))
+    total = 0
+    for rel in base:
+        total += int(
+            str(rel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    if parts > 0 and total / parts > SHJ_TASK_BUDGET_BYTES:
+        return df  # build side may not fit a task: let SMJ (spillable) run
     return df.hint("shuffle_hash")
 
 

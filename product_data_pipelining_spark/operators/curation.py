@@ -16,12 +16,15 @@ Stage order (first failure wins, later stages only see survivors):
 4. ``holdout``       — md5-of-key eval split (smp01 semantics)
 5. ``kept``          — survives everything: the training set
 
-Scale note: the pair stage uses the EXACT shingle-join (dd02) because
-the funnel's oracle must be SQL-expressible end-to-end; at 100 TB the
-drop-in replacement is dd04's banded MinHash-LSH pair generator (same
-(doc_a, doc_b, jaccard) interface, bucketed instead of quadratic in
-shared-shingle groups). Everything else is already the scale shape:
-shingle equi-joins, a broadcast benchmark set, hash-split projection.
+Scale note: the registered pipe01 uses the EXACT shingle-join pair
+stage (dd02) because the funnel's oracle must be SQL-expressible
+end-to-end; ``curation_funnel(..., pair_stage="lsh")`` swaps in dd04's
+banded MinHash-LSH pair generator (same (doc_a, doc_b) interface,
+bucketed instead of quadratic in shared-shingle groups) — the
+executable 100 TB path, pinned frame-equal to the exact mode on the
+gate fixtures by ``tests/test_plans.py``. Everything else is already
+the scale shape: shingle equi-joins, size-aware benchmark-set and
+flag-set join hints, hash-split projection.
 """
 
 from __future__ import annotations
@@ -29,13 +32,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table, parallelize_scan
+from ..io import broadcast_or_shuffle_hash, load_table, parallelize_scan
 from ..registry import register
 from .dedup import (
     _CONTAM_MIN_SHARED,
     _SQL_SHINGLES,
     _SQL_TOKS,
     JACCARD_THRESHOLD,
+    LSH_MAX_BUCKET,
+    minhash_lsh_pairs,
     shingles,
 )
 from .textops import tokens
@@ -94,6 +99,13 @@ PIPE_HOLDOUT_NIBBLE = "f"  # md5 first hex char -> ~1/16 eval holdout
     """,
 )
 def pipe01_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-compat funnel: exact pair stage (see curation_funnel)."""
+    return curation_funnel(spark, sf_dir, pair_stage="exact")
+
+
+def curation_funnel(
+    spark: SparkSession, sf_dir: str, pair_stage: str = "exact"
+) -> DataFrame:
     """Raw pool -> training set, with per-document drop attribution.
 
     One row per input document, ``stage`` naming the first gate it
@@ -102,14 +114,26 @@ def pipe01_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, exact Jaccard rationals, md5 membership), the whole
     funnel carries a value oracle end-to-end.
 
+    ``pair_stage``: ``"exact"`` (oracle-compat, dd02's shingle
+    self-join — quadratic within shared-shingle groups) or ``"lsh"``
+    (dd04's banded MinHash-LSH generator with the ``LSH_MAX_BUCKET``
+    hot-bucket cap — the 100 TB path; candidate recall 1-(1-j²)⁴ ≈ 1.0
+    at the j ≥ 0.9 near-dup grade the threshold targets, and the two
+    modes are pinned frame-equal on the gate fixtures).
+
     Plan shape: one scan of documents feeds the width/shingle
-    projections; the pair stage is a self-equi-join on shingle (the
-    only corpus-scale shuffle); the benchmark shingle set is tiny by
-    construction and broadcasts; every later stage is a key-only
-    semi/anti join against sets far smaller than the corpus. The
-    final attribution is LEFT joins of flag sets back onto the pool —
-    no window, no driver collection.
+    projections; the pair stage is the only corpus-scale shuffle (a
+    shingle self-equi-join, or LSH band buckets). The benchmark shingle
+    set and the duplicate/contaminated flag sets join back through
+    size-aware hints (``io.broadcast_or_shuffle_hash``): the dup set is
+    one key per near-duplicate document — O(corpus) on a duplicate-heavy
+    web crawl, NOT guaranteed small — so it broadcasts only while its
+    base relation's stats stay under the session threshold and otherwise
+    degrades to a bounded hash (or spillable sort-merge) join. No
+    window, no driver collection.
     """
+    if pair_stage not in ("exact", "lsh"):
+        raise ValueError(f"pair_stage must be 'exact' or 'lsh': {pair_stage}")
     docs = parallelize_scan(
         load_table(spark, sf_dir, "documents"), force=True
     )
@@ -132,57 +156,74 @@ def pipe01_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sh.select(
         "doc_id", F.explode("sh").alias("s"), F.size("sh").alias("nsh")
     )
-    # rename EVERY column on the right side of the self-join so the
-    # equi-predicate can't resolve trivially-true against shared names
-    # (round-5 sim07 lesson)
-    a = ex.select(
-        F.col("doc_id").alias("doc_a"),
-        "s",
-        F.col("nsh").alias("na"),
-    )
-    b = ex.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("s").alias("s_b"),
-        F.col("nsh").alias("nb"),
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("s") == F.col("s_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+    if pair_stage == "exact":
+        # rename EVERY column on the right side of the self-join so the
+        # equi-predicate can't resolve trivially-true against shared
+        # names (round-5 sim07 lesson)
+        a = ex.select(
+            F.col("doc_id").alias("doc_a"),
+            "s",
+            F.col("nsh").alias("na"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("shared"),
-            F.any_value(F.col("na")).alias("na"),
-            F.any_value(F.col("nb")).alias("nb"),
+        b = ex.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("s").alias("s_b"),
+            F.col("nsh").alias("nb"),
         )
-    )
-    dupes = (
-        pairs.filter(
-            F.col("shared")
-            * 1.0
-            / (F.col("na") + F.col("nb") - F.col("shared"))
-            >= JACCARD_THRESHOLD
+        pairs = (
+            a.join(
+                b,
+                (F.col("s") == F.col("s_b"))
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("shared"),
+                F.any_value(F.col("na")).alias("na"),
+                F.any_value(F.col("nb")).alias("nb"),
+            )
+            .filter(
+                F.col("shared")
+                * 1.0
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+                >= JACCARD_THRESHOLD
+            )
         )
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    else:  # banded MinHash-LSH over the SAME quality-gated shingle frame
+        pairs = minhash_lsh_pairs(
+            spark,
+            sf_dir,
+            hash_mode="xxhash64",
+            max_bucket=LSH_MAX_BUCKET,
+            sh_arr=sh,
+        )
+    dupes = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     bsh = (
         docs.filter(F.col("doc_id") % 97 == 0)
         .select(F.explode(shingles(tokens())).alias("s"))
         .distinct()
     )
+    # size-aware hints throughout (never a hard F.broadcast): the
+    # benchmark shingle set is bounded by the benchmark slice's text
+    # bytes (base: the pruned text projection), but dup_flag/con_flag
+    # are one key per flagged DOCUMENT — on a duplicate-heavy corpus
+    # that is O(corpus), so their honest base is the corpus key column
+    # and past the threshold the joins run as bounded hash / AQE plans.
+    doc_keys = docs.select("doc_id")
     contam = (
         ex.join(dupes, "doc_id", "left_anti")
-        .join(F.broadcast(bsh), "s")
+        .join(broadcast_or_shuffle_hash(bsh, docs.select("text")), "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= _CONTAM_MIN_SHARED)
         .select("doc_id")
     )
-    dup_flag = dupes.withColumn("is_dup", F.lit(True))
-    con_flag = contam.withColumn("is_con", F.lit(True))
+    dup_flag = broadcast_or_shuffle_hash(
+        dupes.withColumn("is_dup", F.lit(True)), doc_keys
+    )
+    con_flag = broadcast_or_shuffle_hash(
+        contam.withColumn("is_con", F.lit(True)), doc_keys
+    )
     stage = (
         F.when(F.col("wc") < PIPE_WC_MIN, "quality")
         .when(F.col("is_dup"), "duplicate")
@@ -195,7 +236,7 @@ def pipe01_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
     )
     return (
-        wcd.join(F.broadcast(dup_flag), "doc_id", "left")
-        .join(F.broadcast(con_flag), "doc_id", "left")
+        wcd.join(dup_flag, "doc_id", "left")
+        .join(con_flag, "doc_id", "left")
         .select("doc_id", "lang", "source", "wc", stage.alias("stage"))
     )

@@ -306,6 +306,7 @@ def minhash_lsh_pairs(
     hash_mode: str = "xxhash64",
     max_bucket: int | None = None,
     broadcast_limit: int = MAX_BROADCAST_CANDIDATES,
+    sh_arr: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection — the 100 TB dedup path.
 
@@ -349,8 +350,14 @@ def minhash_lsh_pairs(
       is the stage boundary you'd write to parquet); at or below the
       limit both verify joins broadcast it, above they run as plain
       shuffle equi-joins and AQE picks the strategy from runtime sizes.
+
+    ``sh_arr`` lets a caller that already owns a ``(doc_id, sh)``
+    shingle frame (e.g. pipe01's quality-gated corpus) reuse it instead
+    of re-deriving shingles from the raw table.
     """
-    sh_arr = shingle_arrays(spark, sf_dir).persist()
+    if sh_arr is None:
+        sh_arr = shingle_arrays(spark, sf_dir)
+    sh_arr = sh_arr.persist()
     sig = signature_from_shingles(sh_arr, hash_mode)
     if hash_mode == "md5":
         band_cols = F.array(

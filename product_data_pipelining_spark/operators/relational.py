@@ -1533,7 +1533,7 @@ def ev07_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, hr, c,
              CAST(COUNT(c) OVER tw AS BIGINT) AS n_base,
              CAST(SUM(c) OVER tw AS BIGINT) AS sx,
-             CAST(SUM(c * c) OVER tw AS BIGINT) AS sxx
+             SUM(CAST(c AS HUGEINT) * c) OVER tw AS sxx
       FROM h
       WINDOW tw AS (PARTITION BY event_type ORDER BY hr
                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
@@ -1541,7 +1541,7 @@ def ev07_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     z AS (
       SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, c, n_base,
              CASE WHEN n_base = 24
-                   AND n_base * sxx - sx * sx > 0
+                   AND n_base * sxx - CAST(sx AS HUGEINT) * sx > 0
                   THEN ROUND(
                     (CAST(c AS DOUBLE) - CAST(sx AS DOUBLE) / n_base)
                     / sqrt((CAST(n_base AS DOUBLE) * CAST(sxx AS DOUBLE)
@@ -1567,11 +1567,16 @@ def ev08_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged, so the detector is well-defined from the first row.
 
     Cross-engine float determinism: the frame aggregates are exact
-    BIGINT power sums (count, sum, sum of squares of integer counts);
+    integer power sums (count, sum, sum of squares of integer counts);
     mean/variance/z are derived from those integers with one identical
     double expression on both sides — no order-dependent float
     accumulation anywhere (pr02's moment contract, applied to a
-    window frame).
+    window frame). The square sum is accumulated WIDE — DECIMAL(38,0)
+    here, HUGEINT in the oracle — because BIGINT c*c wraps silently in
+    Spark (non-ANSI) once an hourly count passes ~3e9 while DuckDB
+    raises, a silent cross-engine divergence; the wide lane is exact
+    up to c ≈ 1.3e17 events/hour (24·c² ≤ 10^38), far beyond any
+    physical ingest rate.
 
     Scale shape: the pre-aggregation collapses the raw stream to
     (type x hour) grain BEFORE the window — the window input is ~9k
@@ -1596,12 +1601,16 @@ def ev08_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         F.count("c").over(tw).alias("n_base"),
         F.sum("c").over(tw).alias("sx"),
-        F.sum(F.col("c") * F.col("c")).over(tw).alias("sxx"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .over(tw)
+        .alias("sxx"),
     )
     n_d = F.col("n_base").cast("double")
-    var_num = (
-        F.col("n_base") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    # the gate stays in the exact wide lane too: sx*sx wraps BIGINT at
+    # sx ~ 3e9, so square through DECIMAL like sxx
+    var_num = F.col("n_base") * F.col("sxx") - F.col("sx").cast(
+        "decimal(38,0)"
+    ) * F.col("sx")
     z = F.when(
         (F.col("n_base") == 24) & (var_num > 0),
         duck_round(

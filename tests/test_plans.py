@@ -1119,9 +1119,6 @@ def test_sim02_max_bucket_caps_hot_buckets(spark, sf_dir):
     )
 
     full = sim02_ann_lsh_bucketed(spark, sf_dir).collect()
-    occupancy = {}
-    for r in full:
-        occupancy[r["bucket"]] = occupancy.get(r["bucket"], 0)
     # bucket occupancy from the corpus side (result only shows pairs)
     from product_data_pipelining_spark.io import load_table
     from product_data_pipelining_spark.operators.similarity import LSH_BITS
@@ -1183,3 +1180,41 @@ def test_cluster_keep_best_is_partial_aggregate_not_window(spark, sf_dir):
     plan = physical_plan(df)
     assert "Window" not in plan
     assert has_partial_aggregation(df), plan[:1200]
+
+
+def test_curation_lsh_pair_stage_matches_exact(spark, sf_dir):
+    """pipe01's executable 100 TB claim: the banded MinHash-LSH pair
+    stage produces the SAME funnel attribution as the exact shingle
+    self-join on the gate fixture (near-dups here are j >= 0.9, where
+    LSH candidate recall is ~1.0)."""
+    from product_data_pipelining_spark.operators.curation import (
+        curation_funnel,
+    )
+
+    exact = {tuple(r) for r in curation_funnel(spark, sf_dir, "exact").collect()}
+    lsh = {tuple(r) for r in curation_funnel(spark, sf_dir, "lsh").collect()}
+    assert lsh == exact
+    stages = {r[-1] for r in exact}
+    assert stages == {"quality", "duplicate", "contaminated", "holdout", "kept"}
+
+
+def test_curation_flag_joins_are_size_aware_not_forced(spark, sf_dir):
+    """The round-6 scale-killer: dup/con flag sets are O(corpus) on a
+    duplicate-heavy web crawl, so their joins must demote past the
+    broadcast threshold instead of being force-broadcast. At the
+    default threshold the small fixture sets still broadcast."""
+    from product_data_pipelining_spark.plans.inspect import physical_plan
+
+    q = QUERIES["pipe01_curation_funnel"].fn
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = physical_plan(q(spark, sf_dir))
+        assert "BroadcastHashJoin" not in plan, plan[:1500]
+        assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    plan = physical_plan(q(spark, sf_dir))
+    # dup_flag, con_flag, and the benchmark shingle set all broadcast
+    # while their base-relation stats fit the session threshold
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:1500]
