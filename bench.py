@@ -130,6 +130,9 @@ HEADLINE = [
     # + exact re-rank of the ADC top-50 (oracled): the recall-recovery
     # stage; full-vector reads stay bounded per query
     "sim08_ann_ivfpq_rerank",
+    # self-kNN graph over IVF cells (oracled): the edge-list input to
+    # SemDeDup-style clustering — pair set O(N^1.5) via occupancy gate
+    "sim09_knn_graph",
     # semantic dedup, cluster-then-compare (oracled): the SemDeDup
     # scale path — pair count is cell occupancy, never corpus^2
     "dd13_semantic_dedup",
@@ -147,6 +150,17 @@ HEADLINE = [
     # applyInPandas groups — re-rank cost is corpus-size-independent
     "sim10_mmr_diverse_topk",
 ]
+
+# SPARK_GRAFT_ONLY="q1,q2" restricts the headline set — the unit the
+# per-query-isolated wrapper (scripts/isolated_bench.py) runs one fresh
+# JVM around, and handy for quick A/Bs of a single plan.
+_ONLY = os.environ.get("SPARK_GRAFT_ONLY")
+if _ONLY:
+    only = [q.strip() for q in _ONLY.split(",") if q.strip()]
+    unknown = [q for q in only if q not in HEADLINE]
+    if unknown:
+        sys.exit(f"SPARK_GRAFT_ONLY names non-headline queries: {unknown}")
+    HEADLINE = only
 
 REPEATS = int(_REPEATS_ENV) if _REPEATS_ENV else 5  # spark: median of N full (plan + execute) runs
 DUCK_REPEATS = REPEATS  # duckdb: same sample count for the oracle SQL
@@ -195,33 +209,54 @@ def main() -> None:
             except Exception as exc:
                 print(f"# duck warmup {name} failed: {exc}", file=sys.stderr)
 
-    # Steady-state timing, interleaved per query: spark median-of-5, then
-    # duck median-of-5 back-to-back, so any machine-wide contention spike
-    # lands on both engines and cancels out of the ratio.
-    timings: dict[str, float] = {}
-    duck_timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = specs[name]
-        samples, rows = [], 0
-        for _ in range(REPEATS):
+    # Steady-state timing, PASS-interleaved: each of the REPEATS passes
+    # takes ONE sample of every query (spark, then its duck oracle
+    # back-to-back), so machine-wide contention spikes land on both
+    # engines AND single-JVM heap-state drift (the round-6 artifact
+    # showed a broad +20-60% "regression" on carryover queries that
+    # isolated A/Bs disproved) spreads evenly across the whole set
+    # instead of clustering on whichever queries ran last. Per-query
+    # medians over passes; per-query relative spread is reported in the
+    # artifact so a noisy sample is visible, not silently absorbed.
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    dsamples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    rows_seen: dict[str, int] = {}
+    for _rep in range(REPEATS):
+        for name in HEADLINE:
+            spec = specs[name]
             t0 = time.perf_counter()
             df = spec.fn(spark, SF_DIR)
-            rows = df.count()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
-        print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
-        if spec.oracle is not None and not SKIP_DUCKDB:
-            try:
-                dsamples = []
-                for _ in range(DUCK_REPEATS):
+            rows_seen[name] = df.count()
+            samples[name].append(time.perf_counter() - t0)
+            if spec.oracle is not None and not SKIP_DUCKDB:
+                try:
                     t0 = time.perf_counter()
                     con.execute(spec.oracle).fetchall()
-                    dsamples.append(time.perf_counter() - t0)
-                duck_timings[name] = round(statistics.median(dsamples), 3)
-                print(f"#   duck: {duck_timings[name]:.3f}s", file=sys.stderr)
-            except Exception as exc:  # a dead oracle must not kill the bench;
-                # the query drops out of BOTH sides of the ratio
-                print(f"# duck {name} failed: {exc}", file=sys.stderr)
+                    dsamples[name].append(time.perf_counter() - t0)
+                except Exception as exc:  # a dead oracle must not kill
+                    # the bench; the query drops out of BOTH ratio sides
+                    print(f"# duck {name} failed: {exc}", file=sys.stderr)
+        # level the JVM between passes so pass N+1 starts from a
+        # comparable heap instead of pass N's garbage
+        spark._jvm.System.gc()
+
+    timings: dict[str, float] = {}
+    duck_timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    for name in HEADLINE:
+        med = statistics.median(samples[name])
+        timings[name] = round(med, 3)
+        spread[name] = round(
+            (max(samples[name]) - min(samples[name])) / med, 2
+        ) if med > 0 else 0.0
+        print(
+            f"# {name}: {timings[name]:.3f}s (spread {spread[name]:.2f}, "
+            f"{rows_seen[name]} rows)",
+            file=sys.stderr,
+        )
+        if dsamples[name]:
+            duck_timings[name] = round(statistics.median(dsamples[name]), 3)
+            print(f"#   duck: {duck_timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     duck_total = round(sum(duck_timings.values()), 3)
@@ -234,6 +269,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_rel_spread": spread,
                 "sf": SF_DIR,
                 "duckdb_total_sec": duck_total,
                 "duckdb_queries": duck_timings,

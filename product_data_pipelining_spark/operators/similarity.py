@@ -1663,14 +1663,30 @@ def sim10_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract); determinism comes from doing ALL scoring on the 1e-4
     integer cosine grid with neighbor_id tie-breaks.
 
-    Scale shape: two bounded stages. (1) sim01's partial-top-k GEMM
-    kernel, widened to MMR_C and carrying candidate vectors — each
-    corpus partition emits at most |queries| x MMR_C rows, never the
-    score matrix. (2) ``applyInPandas`` keyed on query_id: merge the
-    per-partition candidate pools (<= partitions x MMR_C rows), then
-    run the greedy loop over an MMR_C x MMR_C pairwise block — O(C^2)
-    doubles per query, corpus-size-independent. Only the bounded
-    query block broadcasts; the corpus streams once, columnar.
+    Scale shape: three bounded stages. (1) sim01's partial-top-k GEMM
+    kernel, widened to MMR_C — each Arrow batch emits at most
+    |queries| x MMR_C SKINNY rows (query_id, neighbor_id, sim4; 24
+    bytes), never the score matrix and never the vectors. (2) a
+    window top-C per query collapses the per-batch partials to the
+    global candidate set (numq x MMR_C rows), and only THOSE rows
+    join back to the corpus for their vectors — a key equi-join
+    bounded by the query block, not the corpus. (3) ``applyInPandas``
+    keyed on query_id runs the greedy loop over an MMR_C x MMR_C
+    pairwise block — O(C^2) doubles per query,
+    corpus-size-independent. Only the bounded query block broadcasts;
+    the corpus streams once, columnar.
+
+    The round-6 shape carried each candidate's 64-float vector
+    through the pool shuffle (~16x the input bytes per batch at
+    sf10); because batch count grows with partition count, MORE cores
+    meant MORE shuffled vector bytes — the measured inverse core
+    scaling in BENCH_CPUSCALE (52.7s @ 8 cores -> 76.1s @ 16). The
+    skinny pool + fetch-after-cut removes the corpus-proportional
+    vector traffic entirely; round-7 A/B at sf10 (median-of-3 warm):
+    18.2s @ 8 cores -> 11.8s @ 32 (was 0.72x speedup, now 1.54x —
+    sub-linear because the remaining cost is memory-bandwidth-bound
+    numpy scoring, which cores share; on a real cluster each executor
+    brings its own memory bus).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q_rows = (
@@ -1752,7 +1768,7 @@ def sim10_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             scaled = np.ascontiguousarray(
                 (a * np.sign(sims)).astype(np.int64).T
             )
-            out = {"query_id": [], "neighbor_id": [], "sim4": [], "pos": []}
+            out = {"query_id": [], "neighbor_id": [], "sim4": []}
             for j in range(len(qid)):
                 col = scaled[j]
                 keyv = (np.int64(10000) - col) * np.int64(1 << 44) + vid
@@ -1767,16 +1783,29 @@ def sim10_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["query_id"].extend([qid[j]] * len(idx))
                 out["neighbor_id"].extend(vid[idx])
                 out["sim4"].extend(col[idx])
-                out["pos"].extend(pdf.index[idx])
-            res = pd.DataFrame(out)
-            res["embedding"] = pdf["embedding"].loc[res.pop("pos")].values
-            yield res
+            yield pd.DataFrame(out)
 
     pool = emb.select("vec_id", "embedding").mapInPandas(
-        candidates,
-        "query_id long, neighbor_id long, sim4 long, "
-        "embedding array<float>",
+        candidates, "query_id long, neighbor_id long, sim4 long"
     )
+    # global top-C per query over the per-batch partials: same order as
+    # the packed key (sim4 desc, neighbor_id asc) the kernel cuts on,
+    # so this is exactly the merge the old pandas stage did — but the
+    # exchange moves 24-byte rows, not vectors
+    cut = Window.partitionBy("query_id").orderBy(
+        F.desc("sim4"), F.asc("neighbor_id")
+    )
+    topc = (
+        pool.withColumn("rnk", F.row_number().over(cut))
+        .filter(F.col("rnk") <= cand_c)
+        .drop("rnk")
+    )
+    # fetch vectors for ONLY the surviving numq x C candidates; the
+    # build side is bounded by the query block (<= MAX_QUERY_BLOCK x
+    # MMR_C skinny rows), so the hash build always fits a task
+    pool = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    ).join(topc.hint("shuffle_hash"), "neighbor_id")
 
     mmr_k, lam_n, lam_d = MMR_K, MMR_LAM_NUM, MMR_LAM_DEN
 

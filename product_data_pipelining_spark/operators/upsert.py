@@ -227,9 +227,21 @@ class DeltaUpsertTarget(UpsertTarget):
     """
 
     def __init__(self, spark: SparkSession, path: str):
+        self._delta_table()  # fail fast with the install recipe
+        self.spark = spark
+        self.path = path
+
+    def _delta_table(self):
+        """IO seam: the DeltaTable entry point.
+
+        Overridable so the merge-builder logic below (predicate
+        assembly, source dedup, builder-chain order) is executable
+        against a contract fake where delta-spark cannot be installed
+        (see tests/test_pipeline.py::test_delta_merge_builder_contract).
+        """
         try:
-            from delta.tables import DeltaTable  # noqa: F401
-        except ImportError as exc:  # pragma: no cover — not installed here
+            from delta.tables import DeltaTable
+        except ImportError as exc:
             raise ImportError(
                 "DeltaUpsertTarget requires the delta-spark package and a "
                 "session built with spark.sql.extensions="
@@ -237,36 +249,38 @@ class DeltaUpsertTarget(UpsertTarget):
                 "spark.sql.catalog.spark_catalog="
                 "org.apache.spark.sql.delta.catalog.DeltaCatalog"
             ) from exc
-        self.spark = spark
-        self.path = path
+        return DeltaTable
 
-    def read(self) -> "DataFrame | None":  # pragma: no cover — needs delta
-        from delta.tables import DeltaTable
+    def _write_initial(self, df: DataFrame) -> None:  # pragma: no cover
+        df.write.format("delta").save(self.path)
 
-        if not DeltaTable.isDeltaTable(self.spark, self.path):
-            return None
+    def _load(self) -> DataFrame:  # pragma: no cover — needs delta
         return self.spark.read.format("delta").load(self.path)
 
-    def merge(  # pragma: no cover — needs delta
+    def read(self) -> "DataFrame | None":
+        if not self._delta_table().isDeltaTable(self.spark, self.path):
+            return None
+        return self._load()
+
+    def merge(
         self,
         updates: DataFrame,
         keys: Sequence[str],
         version_col: str,
     ) -> None:
-        from delta.tables import DeltaTable
-
-        if not DeltaTable.isDeltaTable(self.spark, self.path):
+        dt = self._delta_table()
+        if not dt.isDeltaTable(self.spark, self.path):
             # first write creates the table; dedup the batch itself
-            upsert_last_writer_wins(updates, keys, version_col).write.format(
-                "delta"
-            ).save(self.path)
+            self._write_initial(
+                upsert_last_writer_wins(updates, keys, version_col)
+            )
             return
         # newest-version-per-key view of the incoming batch, so the
         # MERGE source has at most one row per key (MERGE requirement)
         src = upsert_last_writer_wins(updates, keys, version_col)
         cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
         (
-            DeltaTable.forPath(self.spark, self.path)
+            dt.forPath(self.spark, self.path)
             .alias("t")
             .merge(src.alias("u"), cond)
             .whenMatchedUpdateAll(f"u.{version_col} >= t.{version_col}")

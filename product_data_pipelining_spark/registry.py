@@ -111,21 +111,27 @@ _DRIVER_PRIORITY = [
     "p10_date_range_predicate",
     # joins (J1-J3)
     "j01_left_join_star_enrich",
-    "j02_inner_join_agg_cte",
+    # J2 rotated out to driver-proxy coverage (m08 is the same INNER
+    # join dim-agg CTE shape, in-window) so the new bench headliner
+    # sim09 gets its driver-visible row (first-50 window rule)
+    "sim09_knn_graph",
     "j03_left_join_recover_attr",
     # aggregations (A1-A13; A1/A2/A9/A10 driver-proxied by
     # m07/m08/d04/m05)
     "a03_percentile_summary",
     "a04_group_having_order",
     "a05_a06_filtered_avg_conditional_count",
-    "a07_two_key_frequency",
-    "a08_global_minmax",
+    # a07 (two-key frequency) / a08 (global minmax) / set01 (union) /
+    # o02 (limit-offset) rotated OUT this round (judge-blessed: all
+    # m-proxied or trivial, still value-swept locally) to give the
+    # round-6 operators driver-visible rows: ev08 (rate anomaly),
+    # tx14 (DSIR), a23 (count-min sketch), smp09 (mixture planner)
     "a11_share_of_group_window",
     "a12_a13_median_by_group",
-    # set ops (§2.7) and paging (O5; O2 multi-key sort is
-    # driver-proxied by m09)
-    "set01_union_shared_range",
-    "o02_limit_offset_page",
+    "ev08_rate_anomaly",
+    "tx14_dsir_importance",
+    "a23_countmin_frequency",
+    "smp09_mixture_epoch_plan",
     # TPC-H flagships (bench headliners)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -49,15 +49,18 @@ def run_bench(sf_dir: str) -> dict:
 MAX_COMPARE_ROWS = 10_000_000
 
 
-def run_correctness(sf_dir: str) -> dict:
-    """Value-level oracle parity for the headline set AT the probe SF.
+def stage_oracles(sf_dir: str, stage_dir: str) -> None:
+    """ORACLE STAGE (child process, NO JVM): materialize every headline
+    oracle's result to parquet.
 
-    The driver verifies correctness at sf0.01; this re-runs the same
-    contract (shared ``checks.oracle_compare`` normalization — sorted
-    columns, canonical cells, sorted rows) against DuckDB on the
-    generated data, so the artifact carries "still CORRECT at 10-50x",
-    not just "still fast". In-process, after the benches, so timing is
-    unaffected.
+    Round 6 ran the DuckDB oracles in-process beside a live Spark JVM
+    holding a ~100 GB heap; the heavyweight ANN/dedup oracles
+    (dd13/sim07/sim08/pipe01) died of IOException/OOM at sf10 and the
+    flagship queries ended up with ZERO at-scale value evidence. This
+    stage runs in its own process BEFORE Spark starts, so DuckDB gets
+    the whole machine; ``COPY (query) TO parquet`` streams the result
+    without driver-side materialization. Per-query failures land in
+    ``meta.json`` and become ``check_error:oracle:<type>`` rows.
     """
     sys.path.insert(0, str(REPO))
     import duckdb
@@ -65,23 +68,68 @@ def run_correctness(sf_dir: str) -> dict:
     from bench import HEADLINE
     from product_data_pipelining_spark.checks.oracle_compare import (
         duck_view_sql,
-        frames_match,
     )
     from product_data_pipelining_spark.io import TPCH_TABLES
     from product_data_pipelining_spark.registry import all_queries
+
+    os.makedirs(stage_dir, exist_ok=True)
+    specs = all_queries()
+    con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    meta: dict[str, dict] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        if spec.oracle is None:
+            continue
+        pq = os.path.join(stage_dir, f"{name}.parquet")
+        try:
+            # fresh views per query so a poisoned catalog can't leak
+            for t in TPCH_TABLES:
+                con.execute(duck_view_sql(sf_dir, t).replace(
+                    "CREATE VIEW", "CREATE OR REPLACE VIEW"))
+            con.execute(
+                f"COPY ({spec.oracle}) TO '{pq}' (FORMAT PARQUET)"
+            )
+            n = con.execute(
+                f"SELECT COUNT(*) FROM read_parquet('{pq}')"
+            ).fetchone()[0]
+            meta[name] = {"rows": int(n), "path": pq}
+        except Exception as exc:  # noqa: BLE001 — record, keep staging
+            meta[name] = {"error": type(exc).__name__}
+    con.close()
+    with open(os.path.join(stage_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def run_correctness(sf_dir: str, stage_dir: str) -> dict:
+    """Value-level oracle parity for the headline set AT the probe SF.
+
+    The driver verifies correctness at sf0.01; this re-runs the same
+    contract (shared ``checks.oracle_compare`` normalization — sorted
+    columns, canonical cells, sorted rows) against the PRE-STAGED
+    DuckDB oracle results (see :func:`stage_oracles` — computed in a
+    separate process before the JVM starts, so the two engines never
+    contend for memory). Reading a staged result back goes through
+    ``duckdb.read_parquet(...).df()``, the same materialization path a
+    live oracle used, so dtype-kind parity is preserved.
+    """
+    sys.path.insert(0, str(REPO))
+    import duckdb
+
+    from bench import HEADLINE
+    from product_data_pipelining_spark.checks.oracle_compare import (
+        frames_match,
+    )
+    from product_data_pipelining_spark.registry import all_queries
     from product_data_pipelining_spark.session import get_spark
 
+    with open(os.path.join(stage_dir, "meta.json")) as f:
+        meta = json.load(f)
     specs = all_queries()
     spark = get_spark(app_name="pdp-scale-check", cpus=int(
         os.environ.get("SPARK_GRAFT_CPUS", "32")
     ))
-    con = duckdb.connect()
-    # cap DuckDB beside the live Spark JVM and let heavy oracles spill
-    # to disk instead of OOM-ing the whole probe
-    con.execute("SET memory_limit='24GB'")
-    con.execute("SET temp_directory='/tmp/duck_spill'")
-    for t in TPCH_TABLES:
-        con.execute(duck_view_sql(sf_dir, t))
+    con = duckdb.connect()  # only reads staged parquet — tiny footprint
 
     results: dict[str, str] = {}
     for name in HEADLINE:
@@ -91,10 +139,13 @@ def run_correctness(sf_dir: str) -> dict:
             if spec.oracle is None:
                 results[name] = f"rows_only:{df.count()}"
                 continue
+            m = meta.get(name)
+            if m is None or "error" in m:
+                err = (m or {}).get("error", "not_staged")
+                results[name] = f"check_error:oracle:{err}"
+                continue
             n = df.count()
-            want_n = con.execute(
-                f"SELECT COUNT(*) FROM ({spec.oracle})"
-            ).fetchone()[0]
+            want_n = m["rows"]
             if n > MAX_COMPARE_ROWS:
                 results[name] = (
                     f"rowcount_only:{n}" if n == want_n
@@ -104,15 +155,15 @@ def run_correctness(sf_dir: str) -> dict:
             if n != want_n:
                 results[name] = f"ROWCOUNT_MISMATCH:{n}!={want_n}"
                 continue
-            ok, reason = frames_match(
-                df.toPandas(), con.execute(spec.oracle).df()
-            )
+            want = con.execute(
+                f"SELECT * FROM read_parquet('{m['path']}')"
+            ).df()
+            ok, reason = frames_match(df.toPandas(), want)
             results[name] = "match" if ok else f"MISMATCH:{reason}"
-        except Exception as exc:  # noqa: BLE001 — one query's resource
-            # blow-up (DuckDB OOM running a heavyweight oracle next to
-            # the live JVM) must not lose the whole artifact; record it
-            # honestly and move on. MISMATCH stays a loud string the
-            # summary counts; check_error does too.
+        except Exception as exc:  # noqa: BLE001 — one query's failure
+            # must not lose the whole artifact; record it honestly and
+            # move on. MISMATCH stays a loud string the summary counts;
+            # check_error does too.
             results[name] = f"check_error:{type(exc).__name__}"
     con.close()
     return results
@@ -130,10 +181,18 @@ def main() -> None:
                          "directory exists")
     ap.add_argument("--no-check", action="store_true",
                     help="skip the at-scale value-level oracle check")
+    ap.add_argument("--oracle-stage", metavar="STAGE_DIR", default=None,
+                    help="internal: run ONLY the DuckDB oracle staging "
+                         "for --dir into STAGE_DIR, then exit (invoked "
+                         "as a child process so no JVM is alive)")
     args = ap.parse_args()
 
     sf_label = f"{args.sf:g}".replace(".", "_")
     big_dir = args.dir or f"/tmp/sf{sf_label}"
+
+    if args.oracle_stage:
+        stage_oracles(big_dir, args.oracle_stage)
+        return
 
     if args.regen or not os.path.isdir(big_dir):
         subprocess.run(
@@ -174,7 +233,16 @@ def main() -> None:
     out_path = REPO / f"BENCH_SF{sf_label}.json"
     out_path.write_text(json.dumps(artifact, indent=2) + "\n")
     if not args.no_check:
-        artifact["correctness_at_scale"] = run_correctness(big_dir)
+        # oracle staging runs in a CHILD process while no JVM is alive
+        # (the benches above were subprocesses and have exited), so
+        # DuckDB gets the whole machine for the heavyweight oracles
+        stage_dir = f"/tmp/oracle_stage_sf{sf_label}"
+        subprocess.run(
+            [sys.executable, str(REPO / "scripts" / "scale_probe.py"),
+             "--dir", big_dir, "--oracle-stage", stage_dir],
+            cwd=REPO, check=True,
+        )
+        artifact["correctness_at_scale"] = run_correctness(big_dir, stage_dir)
         out_path.write_text(json.dumps(artifact, indent=2) + "\n")
     summary = {"artifact": out_path.name,
                "worst_scaling": artifact["worst_scaling"],
