@@ -209,54 +209,57 @@ def main() -> None:
             except Exception as exc:
                 print(f"# duck warmup {name} failed: {exc}", file=sys.stderr)
 
-    # Steady-state timing, PASS-interleaved: each of the REPEATS passes
-    # takes ONE sample of every query (spark, then its duck oracle
-    # back-to-back), so machine-wide contention spikes land on both
-    # engines AND single-JVM heap-state drift (the round-6 artifact
-    # showed a broad +20-60% "regression" on carryover queries that
-    # isolated A/Bs disproved) spreads evenly across the whole set
-    # instead of clustering on whichever queries ran last. Per-query
-    # medians over passes; per-query relative spread is reported in the
-    # artifact so a noisy sample is visible, not silently absorbed.
-    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
-    dsamples: dict[str, list[float]] = {n: [] for n in HEADLINE}
-    rows_seen: dict[str, int] = {}
-    for _rep in range(REPEATS):
-        for name in HEADLINE:
-            spec = specs[name]
-            t0 = time.perf_counter()
-            df = spec.fn(spark, SF_DIR)
-            rows_seen[name] = df.count()
-            samples[name].append(time.perf_counter() - t0)
-            if spec.oracle is not None and not SKIP_DUCKDB:
-                try:
-                    t0 = time.perf_counter()
-                    con.execute(spec.oracle).fetchall()
-                    dsamples[name].append(time.perf_counter() - t0)
-                except Exception as exc:  # a dead oracle must not kill
-                    # the bench; the query drops out of BOTH ratio sides
-                    print(f"# duck {name} failed: {exc}", file=sys.stderr)
-        # level the JVM between passes so pass N+1 starts from a
-        # comparable heap instead of pass N's garbage
-        spark._jvm.System.gc()
-
+    # Steady-state timing, interleaved per query: spark median-of-N,
+    # then duck median-of-N back-to-back, so any machine-wide
+    # contention spike lands on both engines and cancels out of the
+    # ratio. Between queries the JVM is GC-leveled so each query's
+    # samples start from a comparable heap instead of its
+    # predecessors' garbage — the round-6 artifact showed a broad
+    # +20-60% heap-state "regression" on carryover queries that
+    # isolated A/Bs disproved. Per-query relative spread is reported
+    # in the artifact so a noisy sample is visible, not silently
+    # absorbed; adjudicate any surprising per-query move with
+    # scripts/isolated_bench.py (one fresh JVM per query) before
+    # believing it. (A fully pass-interleaved loop was tried and
+    # rejected: running 27 other queries between two samples of the
+    # same query measures CPU-cache/JIT-cold re-entry — q1 3x slower
+    # on identical plans — which is not the serving posture this
+    # bench models.)
     timings: dict[str, float] = {}
     duck_timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
-        med = statistics.median(samples[name])
+        spec = specs[name]
+        samples, rows = [], 0
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, SF_DIR)
+            rows = df.count()
+            samples.append(time.perf_counter() - t0)
+        med = statistics.median(samples)
         timings[name] = round(med, 3)
         spread[name] = round(
-            (max(samples[name]) - min(samples[name])) / med, 2
+            (max(samples) - min(samples)) / med, 2
         ) if med > 0 else 0.0
         print(
             f"# {name}: {timings[name]:.3f}s (spread {spread[name]:.2f}, "
-            f"{rows_seen[name]} rows)",
+            f"{rows} rows)",
             file=sys.stderr,
         )
-        if dsamples[name]:
-            duck_timings[name] = round(statistics.median(dsamples[name]), 3)
-            print(f"#   duck: {duck_timings[name]:.3f}s", file=sys.stderr)
+        if spec.oracle is not None and not SKIP_DUCKDB:
+            try:
+                dsamples = []
+                for _ in range(DUCK_REPEATS):
+                    t0 = time.perf_counter()
+                    con.execute(spec.oracle).fetchall()
+                    dsamples.append(time.perf_counter() - t0)
+                duck_timings[name] = round(statistics.median(dsamples), 3)
+                print(f"#   duck: {duck_timings[name]:.3f}s", file=sys.stderr)
+            except Exception as exc:  # a dead oracle must not kill the
+                # bench; the query drops out of BOTH sides of the ratio
+                print(f"# duck {name} failed: {exc}", file=sys.stderr)
+        # level the heap before the next query's samples
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     duck_total = round(sum(duck_timings.values()), 3)

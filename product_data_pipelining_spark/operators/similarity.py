@@ -855,73 +855,224 @@ def sim09_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single-cell edges missed the exact rank-1 neighbor for 60% of
     queries at sf0.01 — cell-boundary loss, sim04's recall bound);
     the ``KNN_MAX_CELL`` occupancy gate (dd04's max_bucket backstop)
-    drops degenerate cells BEFORE pairing; the per-vector top-k is a
-    window over narrow (id, id, sim) rows. The probe ranking windows
-    N x k NARROW rows (ids + one double — never embedding arrays;
-    the two-pass max-of-struct is the array-free alternative if even
-    that exchange hurts). Rank-1-edge recall vs sim01's exact ground
-    truth is pinned in tests/test_plans.py. At 100 TB the cell
-    assignment is precomputed and written partitioned-by-cell, making
-    each cell's GEMM-able block a partition-local read.
+    drops degenerate cells BEFORE pairing. Both cosine stages run the
+    float64-BLAS + longdouble-boundary-refinement kernel (sim01's
+    verified technique, grid values identical to the sequential-double
+    oracle): assignment is one corpus-scan ``mapInPandas`` GEMM
+    against the broadcast codebook emitting only (vec_id, cell,
+    crank); pair scoring is a cogrouped per-cell GEMM that emits each
+    probe's LOCAL top-k as narrow (id, id, sim) rows — never the
+    occupancy^2 score matrix. The final window merges <= N x nprobe x
+    k narrow rows. (The first cut expressed both stages as JVM
+    higher-order-function cosines: interpreted per element, it ran
+    4.9x DuckDB at sf0.1 and 11.5s at sf1 — the GEMM kernel is ~5x
+    faster and scales with cores.) Rank-1-edge recall vs sim01's
+    exact ground truth is pinned in tests/test_plans.py. At 100 TB
+    the cell assignment is precomputed and written partitioned-by-
+    cell, making each cell's GEMM-able block a partition-local read.
     """
-    v = _with_norm(spark, sf_dir)
-    cents = v.filter(centroid_filter(spark, sf_dir)).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = centroid_budget(corpus_size(spark, sf_dir))
+    cent_rows = (
+        emb.filter(
+            (F.col("vec_id") % CENT_STRIDE == 7)
+            & (F.col("vec_id") < CENT_STRIDE * k)
+        )
+        .select("vec_id", "embedding")
+        .collect()  # bounded by MAX_CENTROIDS (codebook, never corpus)
     )
-    asg_sim = duck_round(
-        cosine(F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")),
-        6,
+    cent_rows.sort(key=lambda r: r.vec_id)
+    bkey = (id(spark.sparkContext), "sim09")
+    prev = _LIVE_QUERY_BLOCK.pop(bkey, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    c_block = spark.sparkContext.broadcast(
+        (
+            [int(r.vec_id) for r in cent_rows],
+            [list(map(float, r.embedding)) for r in cent_rows],
+        )
     )
-    # one narrow N x k fan-out serves BOTH sides: crank=1 is the cell
-    # assignment (neighbor side), crank<=KNN_NPROBE the probe set
-    narrow = (
-        v.select("vec_id", "embedding", "nrm")
-        .crossJoin(F.broadcast(cents))
-        .select("vec_id", "cent_id", asg_sim.alias("s"))
+    _LIVE_QUERY_BLOCK[bkey] = c_block
+
+    nprobe = KNN_NPROBE
+
+    def assign(batches):
+        # nested closure: pickled by value, workers don't need the repo
+        import numpy as np
+        import pandas as pd
+
+        c_ids, c_mat = c_block.value
+        Cm = np.array(c_mat, dtype=np.float64)
+        cid = np.array(c_ids, dtype=np.int64)
+        c_nrm = np.sqrt(
+            np.sum(Cm.astype(np.longdouble) ** 2, axis=1)
+        ).astype(np.float64)
+        Cn = np.ascontiguousarray((Cm / c_nrm[:, None]).T)  # (dim, k)
+        kk = len(cid)
+        pow2 = 1
+        while pow2 < max(kk, 2):
+            pow2 <<= 1
+        idx_arr = np.arange(kk, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            x_nrm = np.sqrt(
+                np.sum(X.astype(np.longdouble) ** 2, axis=1)
+            ).astype(np.float64)
+            sims = (X / x_nrm[:, None]) @ Cn
+            # duck_round to the 1e-6 grid (the oracle's 6 dp
+            # assignment): in-place half-away passes + longdouble
+            # refinement for boundary-straddling entries (sim01)
+            a = np.abs(sims)
+            a *= 1e6
+            a += 0.5
+            b = np.rint(a)
+            np.subtract(b, a, out=b)
+            np.abs(b, out=b)
+            near = b < 1e-6
+            if near.any():
+                Xl = X.astype(np.longdouble)
+                Cl = Cm.astype(np.longdouble)
+                for i, j in zip(*np.nonzero(near)):
+                    sims[i, j] = np.float64(
+                        np.dot(Xl[i], Cl[j])
+                        / np.longdouble(x_nrm[i] * c_nrm[j])
+                    )
+                av = np.abs(sims[near])
+                av *= 1e6
+                av += 0.5
+                a[near] = av
+            np.floor(a, out=a)
+            s6 = (a * np.sign(sims)).astype(np.int64)
+            # ascending packed key (-s6, centroid index); index order
+            # IS cent_id order (sorted above), matching the oracle's
+            # (sim DESC, cent_id ASC) ranking
+            keym = (np.int64(1_000_000) - s6) * pow2 + idx_arr
+            p = min(nprobe, kk)
+            part = np.argpartition(keym, p - 1, axis=1)[:, :p]
+            rowsrt = np.take_along_axis(keym, part, axis=1).argsort(
+                axis=1, kind="stable"
+            )
+            top = np.take_along_axis(part, rowsrt, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vid, p),
+                    "cell": cid[top].ravel(),
+                    "crank": np.tile(
+                        np.arange(1, p + 1, dtype=np.int32), len(vid)
+                    ),
+                }
+            )
+
+    ranked = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(assign, "vec_id long, cell long, crank int")
+        .persist()  # consumed by cells AND probes below
     )
-    wc = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cent_id"))
-    ranked = narrow.withColumn("crank", F.row_number().over(wc)).filter(
-        F.col("crank") <= KNN_NPROBE
-    )
+    v = emb.select("vec_id", "embedding")
     cells = (
-        ranked.filter(F.col("crank") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-        .join(v, "vec_id")
-        .select("vec_id", "cell", "embedding", "nrm")
+        ranked.filter(F.col("crank") == 1).select("vec_id", "cell").join(v, "vec_id")
     )
-    probes = (
-        ranked.select("vec_id", F.col("cent_id").alias("cell"))
-        .join(v, "vec_id")
-        .select("vec_id", "cell", "embedding", "nrm")
-    )
+    probes = ranked.select("vec_id", "cell").join(v, "vec_id")
     ok = (
         cells.groupBy("cell")
         .count()
         .filter(F.col("count") <= KNN_MAX_CELL)
         .select("cell")
     )
-    a = probes.join(ok, "cell").alias("a")
-    b = cells.alias("b")
-    pair_cos = duck_round(
-        cosine(
-            F.col("a.embedding"), F.col("b.embedding"),
-            F.col("a.nrm"), F.col("b.nrm"),
-        ),
-        4,
-    )
-    scored = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+    top_k = TOP_K
+
+    def pair_topk(pa, pb):
+        # cogrouped per-cell GEMM: pa = probes of this cell, pb = its
+        # members; emits each probe's local top-k (sim desc, id asc)
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cell": pd.Series([], dtype="int64"),
+                "cosine_sim": pd.Series([], dtype="float64"),
+            }
         )
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            F.col("b.cell").alias("cell"),
-            pair_cos.alias("cosine_sim"),
+        if not len(pa) or not len(pb):
+            return empty
+        A = np.array(pa["embedding"].tolist(), dtype=np.float64)
+        avid = pa["vec_id"].to_numpy(dtype=np.int64)
+        B = np.array(pb["b_embedding"].tolist(), dtype=np.float64)
+        bvid = pb["b_vec_id"].to_numpy(dtype=np.int64)
+        cellv = int(pb["b_cell"].iloc[0])
+        a_nrm = np.sqrt(
+            np.sum(A.astype(np.longdouble) ** 2, axis=1)
+        ).astype(np.float64)
+        b_nrm = np.sqrt(
+            np.sum(B.astype(np.longdouble) ** 2, axis=1)
+        ).astype(np.float64)
+        sims = (A / a_nrm[:, None]) @ (B / b_nrm[:, None]).T
+        g = np.abs(sims)
+        g *= 1e4
+        g += 0.5
+        d = np.rint(g)
+        np.subtract(d, g, out=d)
+        np.abs(d, out=d)
+        near = d < 1e-6
+        if near.any():
+            Al = A.astype(np.longdouble)
+            Bl = B.astype(np.longdouble)
+            for i, j in zip(*np.nonzero(near)):
+                sims[i, j] = np.float64(
+                    np.dot(Al[i], Bl[j])
+                    / np.longdouble(a_nrm[i] * b_nrm[j])
+                )
+            gv = np.abs(sims[near])
+            gv *= 1e4
+            gv += 0.5
+            g[near] = gv
+        np.floor(g, out=g)
+        s4 = (g * np.sign(sims)).astype(np.int64)
+        out = {"vec_id": [], "neighbor_id": [], "cosine_sim": []}
+        for i in range(len(avid)):
+            col = s4[i]
+            keyv = (np.int64(10000) - col) * np.int64(1 << 44) + bvid
+            # hard-drop the self row BEFORE the cut (sim10's guard: a
+            # max-sentinel key still survives a <=k-row cell)
+            vpos = np.flatnonzero(bvid != avid[i])
+            if not len(vpos):
+                continue
+            kq = min(top_k, len(vpos))
+            sub = np.argpartition(keyv[vpos], kq - 1)[:kq]
+            idx = vpos[sub[np.argsort(keyv[vpos][sub], kind="stable")]]
+            out["vec_id"].extend([avid[i]] * len(idx))
+            out["neighbor_id"].extend(bvid[idx])
+            out["cosine_sim"].extend(col[idx] / 1e4)
+        res = pd.DataFrame(out)
+        if not len(res):
+            return empty
+        res["cell"] = cellv
+        return res[["vec_id", "neighbor_id", "cell", "cosine_sim"]]
+
+    # rename EVERY column on the cells side: both cogroup inputs derive
+    # from the same `ranked`/`v` frames and bare shared names resolve
+    # ambiguously (round-5 sim07 lesson)
+    cells_r = cells.join(ok, "cell").select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("cell").alias("b_cell"),
+        F.col("embedding").alias("b_embedding"),
+    )
+    # explicit partition count: Python-stage cost is per-KEY, and AQE
+    # would coalesce the few-MB exchange to one worker (cg01's lesson)
+    par = spark.sparkContext.defaultParallelism
+    scored = (
+        probes.join(ok, "cell")
+        .repartition(par, "cell")
+        .groupBy("cell")
+        .cogroup(cells_r.repartition(par, "b_cell").groupBy("b_cell"))
+        .applyInPandas(
+            lambda left, right: pair_topk(left, right),
+            "vec_id long, neighbor_id long, cell long, cosine_sim double",
         )
     )
     w = Window.partitionBy("vec_id").orderBy(

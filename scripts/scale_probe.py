@@ -76,12 +76,20 @@ def stage_oracles(sf_dir: str, stage_dir: str) -> None:
     specs = all_queries()
     con = duckdb.connect()
     con.execute("SET temp_directory='/tmp/duck_spill'")
+    budget = int(os.environ.get("ORACLE_STAGE_TIMEOUT_SEC", "1800"))
     meta: dict[str, dict] = {}
     for name in HEADLINE:
         spec = specs[name]
         if spec.oracle is None:
             continue
         pq = os.path.join(stage_dir, f"{name}.parquet")
+        # one pathological oracle must not eat the probe: interrupt the
+        # connection after the per-query budget (recorded as an error
+        # row, same as any other staging failure)
+        import threading
+
+        timer = threading.Timer(budget, con.interrupt)
+        timer.start()
         try:
             # fresh views per query so a poisoned catalog can't leak
             for t in TPCH_TABLES:
@@ -96,6 +104,9 @@ def stage_oracles(sf_dir: str, stage_dir: str) -> None:
             meta[name] = {"rows": int(n), "path": pq}
         except Exception as exc:  # noqa: BLE001 — record, keep staging
             meta[name] = {"error": type(exc).__name__}
+        finally:
+            timer.cancel()
+        print(f"# staged {name}: {meta[name]}", file=sys.stderr)
     con.close()
     with open(os.path.join(stage_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)

@@ -68,6 +68,7 @@ ARROW_ALLOWED = {
     "cg01_cogroup_reconcile",
     "sim01_ann_bruteforce_topk",  # partition-local numpy top-k (mapInPandas)
     "sim02x_ann_lsh_bucketed_np",  # Arrow/numpy scoring twin of sim02
+    "sim09_knn_graph",  # codebook-GEMM assignment + cogrouped cell GEMM
     "sim10_mmr_diverse_topk",  # GEMM candidate gen + greedy MMR re-rank
 }
 
