@@ -1057,8 +1057,11 @@ def _dd13_oracle() -> str:
       SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
       FROM v WHERE {_SQL_CENT_PRED}
     ),
+    -- asg stays NARROW (ids + rank only): carrying vectors through the
+    -- N x k window sort spilled past the sf10 probe box's disk; the
+    -- vectors re-join by key after the rank cut (values identical)
     asg AS (
-      SELECT v.vec_id, c.cent_id, v.embedding, v.nrm,
+      SELECT v.vec_id, c.cent_id,
              row_number() OVER (
                PARTITION BY v.vec_id
                ORDER BY ROUND({_SQL_DOT.format(a="v.embedding", b="c.c_emb")}
@@ -1067,8 +1070,8 @@ def _dd13_oracle() -> str:
       FROM v CROSS JOIN c
     ),
     cells AS (
-      SELECT vec_id, cent_id AS cell, embedding, nrm
-      FROM asg WHERE crank = 1
+      SELECT a.vec_id, a.cent_id AS cell, v.embedding, v.nrm
+      FROM asg a JOIN v USING (vec_id) WHERE a.crank = 1
     ),
     ok AS (
       SELECT cell FROM cells GROUP BY cell

@@ -589,8 +589,11 @@ def sim02x_ann_lsh_bucketed_np(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
       FROM v WHERE {_SQL_CENT_PRED}
     ),
+    -- asg stays NARROW (ids + rank only): carrying vectors through the
+    -- N x k window sort spilled past the sf10 probe box's disk; the
+    -- vectors re-join by key after the rank cut (values identical)
     asg AS (
-      SELECT v.vec_id, c.cent_id, v.embedding, v.nrm,
+      SELECT v.vec_id, c.cent_id,
              row_number() OVER (
                PARTITION BY v.vec_id
                ORDER BY ROUND({_SQL_DOT.format(a="v.embedding", b="c.c_emb")}
@@ -599,13 +602,14 @@ def sim02x_ann_lsh_bucketed_np(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v CROSS JOIN c
     ),
     cells AS (
-      SELECT vec_id, cent_id AS cell, embedding, nrm
-      FROM asg WHERE crank = 1
+      SELECT a.vec_id, a.cent_id AS cell, v.embedding, v.nrm
+      FROM asg a JOIN v USING (vec_id) WHERE a.crank = 1
     ),
     probes AS (
-      SELECT vec_id AS query_id, cent_id AS cell,
-             embedding AS q_emb, nrm AS q_nrm
-      FROM asg WHERE crank <= {NPROBE} AND vec_id % {QUERY_STRIDE} = 0
+      SELECT a.vec_id AS query_id, a.cent_id AS cell,
+             v.embedding AS q_emb, v.nrm AS q_nrm
+      FROM asg a JOIN v USING (vec_id)
+      WHERE a.crank <= {NPROBE} AND a.vec_id % {QUERY_STRIDE} = 0
     ),
     scored AS (
       SELECT p.query_id, x.vec_id AS neighbor_id, x.cell,
@@ -799,8 +803,12 @@ KNN_NPROBE = 2
       SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
       FROM v WHERE {_SQL_CENT_PRED}
     ),
+    -- asg stays NARROW (ids + rank only): at sf10 the N x k window
+    -- input is ~90M rows, and carrying the 64-float vectors through
+    -- that sort spilled past the probe box's disk; the vectors are
+    -- re-joined by key AFTER the rank cut instead (values identical)
     asg AS (
-      SELECT v.vec_id, c.cent_id, v.embedding, v.nrm,
+      SELECT v.vec_id, c.cent_id,
              row_number() OVER (
                PARTITION BY v.vec_id
                ORDER BY ROUND({_SQL_DOT.format(a="v.embedding", b="c.c_emb")}
@@ -809,12 +817,12 @@ KNN_NPROBE = 2
       FROM v CROSS JOIN c
     ),
     cells AS (
-      SELECT vec_id, cent_id AS cell, embedding, nrm
-      FROM asg WHERE crank = 1
+      SELECT a.vec_id, a.cent_id AS cell, v.embedding, v.nrm
+      FROM asg a JOIN v USING (vec_id) WHERE a.crank = 1
     ),
     probes AS (
-      SELECT vec_id, cent_id AS cell, embedding, nrm
-      FROM asg WHERE crank <= {KNN_NPROBE}
+      SELECT a.vec_id, a.cent_id AS cell, v.embedding, v.nrm
+      FROM asg a JOIN v USING (vec_id) WHERE a.crank <= {KNN_NPROBE}
     ),
     ok AS (
       SELECT cell FROM cells GROUP BY cell
@@ -1453,7 +1461,10 @@ _SQL_IVFPQ_CTES_TMPL = f"""
       SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
       FROM raw WHERE {_SQL_CENT_PRED}
     ),
-    asg AS (
+    -- NOT MATERIALIZED: probes' query-stride predicate is on the
+    -- window's PARTITION key, so inlining lets it push below the
+    -- window — the probe-side copy ranks 4k vectors, not all N
+    asg AS NOT MATERIALIZED (
       SELECT v.vec_id, c.cent_id,
              row_number() OVER (
                PARTITION BY v.vec_id
@@ -1492,7 +1503,12 @@ _SQL_IVFPQ_CTES_TMPL = f"""
              list_slice(embedding, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS cv
       FROM seeds, unnest(range(0, {PQ_M})) AS u(m)
     ),
-    dist AS (
+    -- NOT MATERIALIZED: dist is referenced by enc (all vectors) and
+    -- lut (query vectors only) — materializing the 204.8M-row sf10
+    -- intermediate spilled past the probe box's disk, while inlining
+    -- lets lut's query-stride filter push into its copy (4M rows) and
+    -- enc's copy stream straight into the partial aggregation
+    dist AS NOT MATERIALIZED (
       SELECT s.vec_id, s.m, cs.pc,
              {_sql_scaled_long(_SQL_L2.format(a="s.sv", b="cs.cv"))} AS d6
       FROM sub s JOIN csub cs USING (m)
@@ -1507,20 +1523,31 @@ _SQL_IVFPQ_CTES_TMPL = f"""
       WHERE vec_id % {QUERY_STRIDE} = 0
         AND vec_id < {QUERY_STRIDE * PQ_MAX_QUERIES}
     ),
-    -- candidates: only probed cells, then ADC-score them
+    -- candidates: only probed cells, then ADC-score them. Codes and
+    -- LUTs are PACKED into per-row lists first: the flat join form
+    -- (cand x {PQ_M} rows into a hash re-aggregation) materialized
+    -- 720M rows at sf10 and spilled past the probe box's disk; the
+    -- packed form streams one row per candidate with {PQ_M} list
+    -- lookups — the SAME exact BIGINT sum, order-independent
     cand AS (
       SELECT p.query_id, x.vec_id AS neighbor_id, x.cell
       FROM probes p JOIN cells x
         ON x.cell = p.cell AND x.vec_id <> p.query_id
     ),
+    encl AS (
+      SELECT vec_id, list(code ORDER BY m) AS codes FROM enc GROUP BY vec_id
+    ),
+    lutl AS (
+      SELECT query_id, list(d6 ORDER BY m, pc) AS lt FROM lut GROUP BY query_id
+    ),
     scored AS (
       SELECT cand.query_id, cand.neighbor_id, cand.cell,
-             CAST(SUM(l.d6) AS BIGINT) AS s6
+             CAST(list_sum(list_transform(range(0, {PQ_M}),
+               m -> lutl.lt[m * {PQ_K} + encl.codes[m + 1] + 1]))
+               AS BIGINT) AS s6
       FROM cand
-      JOIN enc e ON e.vec_id = cand.neighbor_id
-      JOIN lut l ON l.query_id = cand.query_id
-               AND l.m = e.m AND l.pc = e.code
-      GROUP BY cand.query_id, cand.neighbor_id, cand.cell
+      JOIN encl ON encl.vec_id = cand.neighbor_id
+      JOIN lutl ON lutl.query_id = cand.query_id
     )
 """
 

@@ -76,13 +76,36 @@ def stage_oracles(sf_dir: str, stage_dir: str) -> None:
     specs = all_queries()
     con = duckdb.connect()
     con.execute("SET temp_directory='/tmp/duck_spill'")
+    # No JVM is alive, but DuckDB's default (~80% of RAM) still OOM-
+    # killed the first sf10 staging run on dd14's banded self-join —
+    # cap it below the box and let the spill directory absorb the rest.
+    con.execute(
+        f"SET memory_limit='{os.environ.get('ORACLE_STAGE_MEM', '64GB')}'"
+    )
     budget = int(os.environ.get("ORACLE_STAGE_TIMEOUT_SEC", "1800"))
+    meta_path = os.path.join(stage_dir, "meta.json")
     meta: dict[str, dict] = {}
+    if os.path.exists(meta_path):  # resume a killed run
+        with open(meta_path) as f:
+            meta = json.load(f)
     for name in HEADLINE:
         spec = specs[name]
         if spec.oracle is None:
             continue
         pq = os.path.join(stage_dir, f"{name}.parquet")
+        prior = meta.get(name, {})
+        if prior.get("rows") is not None and os.path.exists(pq):
+            continue  # staged by a previous (possibly killed) run
+        if prior.get("error") == "in_flight":
+            # this query OOM-killed the previous child — don't let it
+            # kill every retry; record and move on
+            meta[name] = {"error": "killed_child_process"}
+            with open(meta_path, "w") as f:
+                json.dump(meta, f, indent=2)
+            continue
+        meta[name] = {"error": "in_flight"}
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=2)
         # one pathological oracle must not eat the probe: interrupt the
         # connection after the per-query budget (recorded as an error
         # row, same as any other staging failure)
@@ -107,9 +130,11 @@ def stage_oracles(sf_dir: str, stage_dir: str) -> None:
         finally:
             timer.cancel()
         print(f"# staged {name}: {meta[name]}", file=sys.stderr)
+        # write meta after EVERY query: a SIGKILL (OOM) mid-run must
+        # not lose the finished stages — the rerun resumes from here
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=2)
     con.close()
-    with open(os.path.join(stage_dir, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2)
 
 
 def run_correctness(sf_dir: str, stage_dir: str) -> dict:
@@ -196,6 +221,11 @@ def main() -> None:
                     help="internal: run ONLY the DuckDB oracle staging "
                          "for --dir into STAGE_DIR, then exit (invoked "
                          "as a child process so no JVM is alive)")
+    ap.add_argument("--check-only", action="store_true",
+                    help="skip generation and the bench legs: run the "
+                         "oracle staging + at-scale value check and "
+                         "merge correctness_at_scale into the existing "
+                         "BENCH_SF{N}.json")
     args = ap.parse_args()
 
     sf_label = f"{args.sf:g}".replace(".", "_")
@@ -203,6 +233,33 @@ def main() -> None:
 
     if args.oracle_stage:
         stage_oracles(big_dir, args.oracle_stage)
+        return
+
+    if args.check_only:
+        out_path = REPO / f"BENCH_SF{sf_label}.json"
+        artifact = json.loads(out_path.read_text())
+        stage_dir = f"/tmp/oracle_stage_sf{sf_label}"
+        for _attempt in range(3):
+            rc = subprocess.run(
+                [sys.executable, str(REPO / "scripts" / "scale_probe.py"),
+                 "--dir", big_dir, "--oracle-stage", stage_dir],
+                cwd=REPO,
+            ).returncode
+            if rc == 0:
+                break
+            print(f"# oracle staging exited rc={rc}; resuming",
+                  file=sys.stderr)
+        artifact["correctness_at_scale"] = run_correctness(big_dir, stage_dir)
+        out_path.write_text(json.dumps(artifact, indent=2) + "\n")
+        vals = list(artifact["correctness_at_scale"].values())
+        print(json.dumps({
+            "artifact": out_path.name,
+            "correct_at_scale": (
+                f"{sum(v == 'match' for v in vals)}/{len(vals)} match, "
+                f"{sum('MISMATCH' in v for v in vals)} mismatched, "
+                f"{sum('check_error' in v for v in vals)} check_error"
+            ),
+        }))
         return
 
     if args.regen or not os.path.isdir(big_dir):
@@ -246,13 +303,22 @@ def main() -> None:
     if not args.no_check:
         # oracle staging runs in a CHILD process while no JVM is alive
         # (the benches above were subprocesses and have exited), so
-        # DuckDB gets the whole machine for the heavyweight oracles
+        # DuckDB gets most of the machine for the heavyweight oracles.
+        # Staging is resumable (per-query meta writes), so an OOM-killed
+        # child is retried and picks up where it died; a query that
+        # kills the child twice is recorded as not_staged rather than
+        # losing the whole correctness stage.
         stage_dir = f"/tmp/oracle_stage_sf{sf_label}"
-        subprocess.run(
-            [sys.executable, str(REPO / "scripts" / "scale_probe.py"),
-             "--dir", big_dir, "--oracle-stage", stage_dir],
-            cwd=REPO, check=True,
-        )
+        for _attempt in range(3):
+            rc = subprocess.run(
+                [sys.executable, str(REPO / "scripts" / "scale_probe.py"),
+                 "--dir", big_dir, "--oracle-stage", stage_dir],
+                cwd=REPO,
+            ).returncode
+            if rc == 0:
+                break
+            print(f"# oracle staging exited rc={rc}; resuming",
+                  file=sys.stderr)
         artifact["correctness_at_scale"] = run_correctness(big_dir, stage_dir)
         out_path.write_text(json.dumps(artifact, indent=2) + "\n")
     summary = {"artifact": out_path.name,
