@@ -169,12 +169,16 @@ DUCK_REPEATS = REPEATS  # duckdb: same sample count for the oracle SQL
 def _duck_connect() -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     # Bound the in-process baseline: DuckDB's default memory limit is
-    # ~80% of RAM, and next to a live 24 GB JVM + table caches a
-    # corpus-scale oracle (the sf10 probe OOM-killed this process at
-    # 104 GB RSS on dd14's banded self-join) takes the whole box down.
-    # 24 GB + /tmp spill matches scripts/scale_probe.py's correctness
-    # stage; a spilling baseline is a slow baseline, never a dead bench.
-    con.execute("SET memory_limit='24GB'")
+    # ~80% of RAM, and next to a live JVM + table caches a corpus-scale
+    # oracle (the sf10 probe OOM-killed this process at 104 GB RSS on
+    # dd14's banded self-join) takes the whole box down. A quarter of
+    # available RAM (24 GB ceiling, mirroring session._default_heap_gb)
+    # + /tmp spill keeps JVM + baseline within the host on any box; a
+    # spilling baseline is a slow baseline, never a dead bench.
+    from product_data_pipelining_spark.session import available_ram_gb
+
+    duck_gb = min(24, max(2, available_ram_gb() // 4))
+    con.execute(f"SET memory_limit='{duck_gb}GB'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TPCH_TABLES:
         p = f"{SF_DIR}/{t}.parquet"

@@ -48,10 +48,42 @@ from .textops import tokens
 PIPE_WC_MIN = 15  # quality gate: drops the short tail (~5% here)
 PIPE_HOLDOUT_NIBBLE = "f"  # md5 first hex char -> ~1/16 eval holdout
 
+# --- pipe01's two oracle forms -------------------------------------------
+#
+# `oracle` (the registered single statement, used by the driver gate and
+# every local sweep) expresses the exact pair stage as one self-join +
+# aggregation — readable, and fine at the gate SFs.
+#
+# `oracle_stage` (used ONLY by scripts/scale_probe.py's out-of-process
+# staging) sequences the SAME pair aggregation in doc_a % N chunks via
+# TEMP TABLE inserts, because at sf10 the fixtures' 31-word vocab makes
+# every 3-gram shingle hot (27k distinct shingles x ~700 docs each ->
+# 6.5B joined pair rows, ~2B distinct pairs) and DuckDB cannot bound a
+# single statement's memory: one hash aggregation over the full pair
+# space outspilled the probe box's disk; a UNION ALL of chunks schedules
+# its independent child pipelines CONCURRENTLY (measured: 4 parallel
+# chunks spilled 63 GB where one chunk spills nothing); and a recursive
+# CTE gets decorrelated back into a flat plan with the same footprint.
+# Statements are the only reliable sequencing boundary, so the chunks
+# live across statements. Values are identical (the chunk key is the
+# GROUP BY key's first column); `tests/test_plans.py::
+# test_pipe01_staged_oracle_matches_plain` pins the two forms equal on
+# the gate fixtures. Spark needs no such split — its map-side partial
+# aggregation collapses pair multiplicity before the exchange and its
+# hash aggregation spills.
+_PIPE_ORACLE_CHUNKS = 16
 
-@register(
-    "pipe01_curation_funnel",
-    oracle=f"""
+# a pair can only reach JACCARD_THRESHOLD if it shares at least
+# t/(1+t) * (na+nb) shingles; na+nb >= 2*min(nsh) over the corpus, so
+# a COUNT floor of 2*min_nsh*t/(1+t) (evaluated as a scalar subquery)
+# prunes the shared=1..k tail — the overwhelming bulk of hot-shingle
+# pairs — without changing any surviving value.
+_PIPE_SHARED_FLOOR = (
+    f"COUNT(*) * ({1 + JACCARD_THRESHOLD}) >= "
+    f"{2 * JACCARD_THRESHOLD} * (SELECT MIN(nsh) FROM pipe01_sizes)"
+)
+
+_PIPE_BASE_CTES = f"""
     WITH wcd AS (
       SELECT doc_id, lang, source, {_SQL_TOKS} AS t,
              CAST(len({_SQL_TOKS}) AS BIGINT) AS wc
@@ -60,24 +92,18 @@ PIPE_HOLDOUT_NIBBLE = "f"  # md5 first hex char -> ~1/16 eval holdout
     sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles
       FROM wcd WHERE wc >= {PIPE_WC_MIN}
-    ),
-    ex AS (
-      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS nsh FROM sh
-    ),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             count(*) AS shared,
-             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    dupes AS (
-      SELECT DISTINCT doc_b AS doc_id FROM pairs
-      WHERE shared * 1.0 / (na + nb - shared) >= {JACCARD_THRESHOLD}
-    ),
+    )"""
+
+# the funnel's tail (benchmark shingles, contamination, stage CASE) —
+# shared verbatim by both oracle forms, parameterized on where `dupes`
+# comes from
+_PIPE_TAIL = f"""
     bsh AS (
       SELECT DISTINCT unnest({_SQL_SHINGLES}) AS s
       FROM (SELECT {_SQL_TOKS} AS t FROM documents WHERE doc_id % 97 = 0)
+    ),
+    ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
     ),
     contam AS (
       SELECT ex.doc_id FROM ex JOIN bsh ON ex.s = bsh.s
@@ -96,7 +122,70 @@ PIPE_HOLDOUT_NIBBLE = "f"  # md5 first hex char -> ~1/16 eval holdout
              ELSE 'kept'
            END AS stage
     FROM wcd w
-    """,
+    """
+
+_PIPE_ORACLE_PLAIN = (
+    _PIPE_BASE_CTES
+    + f""",
+    exn AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS nsh FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS shared,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+      FROM exn a JOIN exn b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dupes AS (
+      SELECT DISTINCT doc_b AS doc_id FROM pairs
+      WHERE shared * 1.0 / (na + nb - shared) >= {JACCARD_THRESHOLD}
+    ),
+"""
+    + _PIPE_TAIL
+)
+
+_PIPE_ORACLE_STAGE = (
+    # bounded prep: quality-gated shingle lists, sizes, exploded grams
+    f"""CREATE OR REPLACE TEMP TABLE pipe01_sh AS {_PIPE_BASE_CTES}
+        SELECT doc_id, shingles FROM sh""",
+    """CREATE OR REPLACE TEMP TABLE pipe01_sizes AS
+       SELECT doc_id, len(shingles) AS nsh FROM pipe01_sh""",
+    """CREATE OR REPLACE TEMP TABLE pipe01_exi AS
+       SELECT doc_id, unnest(shingles) AS s FROM pipe01_sh""",
+    "CREATE OR REPLACE TEMP TABLE pipe01_dup (doc_id BIGINT)",
+    # one statement per doc_a chunk: peak memory = one chunk's pair agg
+    *(
+        f"""INSERT INTO pipe01_dup
+            SELECT DISTINCT p.doc_b
+            FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS shared
+              FROM pipe01_exi a JOIN pipe01_exi b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              WHERE a.doc_id % {_PIPE_ORACLE_CHUNKS} = {k}
+              GROUP BY a.doc_id, b.doc_id
+              HAVING {_PIPE_SHARED_FLOOR}
+            ) p
+            JOIN pipe01_sizes sa ON sa.doc_id = p.doc_a
+            JOIN pipe01_sizes sb ON sb.doc_id = p.doc_b
+            WHERE p.shared * 1.0 / (sa.nsh + sb.nsh - p.shared)
+                  >= {JACCARD_THRESHOLD}"""
+        for k in range(_PIPE_ORACLE_CHUNKS)
+    ),
+    # final: the shared funnel tail over the pre-sequenced dup set
+    _PIPE_BASE_CTES
+    + """,
+    dupes AS (SELECT DISTINCT doc_id FROM pipe01_dup),
+"""
+    + _PIPE_TAIL,
+)
+
+
+@register(
+    "pipe01_curation_funnel",
+    oracle=_PIPE_ORACLE_PLAIN,
+    oracle_stage=_PIPE_ORACLE_STAGE,
 )
 def pipe01_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-compat funnel: exact pair stage (see curation_funnel)."""

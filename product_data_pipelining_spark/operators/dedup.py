@@ -1045,6 +1045,7 @@ def _dd13_oracle() -> str:
         _SQL_CENT_PRED,
         _SQL_DOT,
         _SQL_NORM,
+        _sql_asg_cte,
     )
 
     return f"""
@@ -1057,18 +1058,10 @@ def _dd13_oracle() -> str:
       SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
       FROM v WHERE {_SQL_CENT_PRED}
     ),
-    -- asg stays NARROW (ids + rank only): carrying vectors through the
-    -- N x k window sort spilled past the sf10 probe box's disk; the
-    -- vectors re-join by key after the rank cut (values identical)
-    asg AS (
-      SELECT v.vec_id, c.cent_id,
-             row_number() OVER (
-               PARTITION BY v.vec_id
-               ORDER BY ROUND({_SQL_DOT.format(a="v.embedding", b="c.c_emb")}
-                              / (v.nrm * c.c_nrm), 6) DESC,
-                        c.cent_id ASC) AS crank
-      FROM v CROSS JOIN c
-    ),
+    -- asg stays NARROW (ids + rank only; sim6 pre-projected below the
+    -- window — see similarity._sql_asg_cte): the vectors re-join by
+    -- key after the rank cut (values identical)
+    asg AS ({_sql_asg_cte()}),
     cells AS (
       SELECT a.vec_id, a.cent_id AS cell, v.embedding, v.nrm
       FROM asg a JOIN v USING (vec_id) WHERE a.crank = 1

@@ -134,6 +134,32 @@ _SQL_NORM = (
 )
 
 
+def _sql_asg_cte(rel: str = "v") -> str:
+    """Shared coarse-quantizer assignment CTE body (rank every vector's
+    cosine to every seed centroid; ``crank`` 1 = nearest cell).
+
+    The ROUND'd cosine is pre-projected in a derived table BELOW the
+    window on purpose: DuckDB evaluates window ORDER BY expressions
+    inside the window operator, so the inline form materializes the
+    full 64-float embedding payload of both join sides into the window
+    sort (~50 GB for the 89.6M-row N x k input at sf10 — it spilled
+    past the probe box's disk). Staged, the window's input is three
+    narrow columns (vec_id, cent_id, sim6); same ordering, same values.
+    """
+    dot = _SQL_DOT.format(a=f"{rel}.embedding", b="c.c_emb")
+    return f"""
+      SELECT vec_id, cent_id,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY sim6 DESC, cent_id ASC) AS crank
+      FROM (
+        SELECT {rel}.vec_id, c.cent_id,
+               ROUND({dot} / ({rel}.nrm * c.c_nrm), 6) AS sim6
+        FROM {rel} CROSS JOIN c
+      )
+    """
+
+
 def _with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pair joins downstream do O(pairs × dim) arithmetic — without
     # the heal a single-row-group corpus file serializes all of it on
@@ -589,18 +615,10 @@ def sim02x_ann_lsh_bucketed_np(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
       FROM v WHERE {_SQL_CENT_PRED}
     ),
-    -- asg stays NARROW (ids + rank only): carrying vectors through the
-    -- N x k window sort spilled past the sf10 probe box's disk; the
-    -- vectors re-join by key after the rank cut (values identical)
-    asg AS (
-      SELECT v.vec_id, c.cent_id,
-             row_number() OVER (
-               PARTITION BY v.vec_id
-               ORDER BY ROUND({_SQL_DOT.format(a="v.embedding", b="c.c_emb")}
-                              / (v.nrm * c.c_nrm), 6) DESC,
-                        c.cent_id ASC) AS crank
-      FROM v CROSS JOIN c
-    ),
+    -- asg stays NARROW (ids + rank only; sim6 pre-projected below the
+    -- window — see _sql_asg_cte): the vectors re-join by key after
+    -- the rank cut (values identical)
+    asg AS ({_sql_asg_cte()}),
     cells AS (
       SELECT a.vec_id, a.cent_id AS cell, v.embedding, v.nrm
       FROM asg a JOIN v USING (vec_id) WHERE a.crank = 1
@@ -803,19 +821,12 @@ KNN_NPROBE = 2
       SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
       FROM v WHERE {_SQL_CENT_PRED}
     ),
-    -- asg stays NARROW (ids + rank only): at sf10 the N x k window
-    -- input is ~90M rows, and carrying the 64-float vectors through
-    -- that sort spilled past the probe box's disk; the vectors are
-    -- re-joined by key AFTER the rank cut instead (values identical)
-    asg AS (
-      SELECT v.vec_id, c.cent_id,
-             row_number() OVER (
-               PARTITION BY v.vec_id
-               ORDER BY ROUND({_SQL_DOT.format(a="v.embedding", b="c.c_emb")}
-                              / (v.nrm * c.c_nrm), 6) DESC,
-                        c.cent_id ASC) AS crank
-      FROM v CROSS JOIN c
-    ),
+    -- asg stays NARROW (ids + rank only; sim6 pre-projected below the
+    -- window — see _sql_asg_cte): at sf10 the N x k window input is
+    -- ~90M rows, and carrying the 64-float vectors through that sort
+    -- spilled past the probe box's disk; the vectors are re-joined by
+    -- key AFTER the rank cut instead (values identical)
+    asg AS ({_sql_asg_cte()}),
     cells AS (
       SELECT a.vec_id, a.cent_id AS cell, v.embedding, v.nrm
       FROM asg a JOIN v USING (vec_id) WHERE a.crank = 1
@@ -1463,16 +1474,9 @@ _SQL_IVFPQ_CTES_TMPL = f"""
     ),
     -- NOT MATERIALIZED: probes' query-stride predicate is on the
     -- window's PARTITION key, so inlining lets it push below the
-    -- window — the probe-side copy ranks 4k vectors, not all N
-    asg AS NOT MATERIALIZED (
-      SELECT v.vec_id, c.cent_id,
-             row_number() OVER (
-               PARTITION BY v.vec_id
-               ORDER BY ROUND({_SQL_DOT.format(a="v.embedding", b="c.c_emb")}
-                              / (v.nrm * c.c_nrm), 6) DESC,
-                        c.cent_id ASC) AS crank
-      FROM raw v CROSS JOIN c
-    ),
+    -- window — the probe-side copy ranks 4k vectors, not all N.
+    -- sim6 is pre-projected below the window (see _sql_asg_cte).
+    asg AS NOT MATERIALIZED ({_sql_asg_cte(rel="raw")}),
     cells AS (SELECT vec_id, cent_id AS cell FROM asg WHERE crank = 1),
     probes AS (
       SELECT vec_id AS query_id, cent_id AS cell
@@ -2043,4 +2047,173 @@ def sim10_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         mmr,
         "query_id long, neighbor_id long, mmr_rank int, "
         "relevance double, mmr_score double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim11: hard-negative mining — the contrastive-training data op. For
+# each query vector, the top-k most-similar vectors whose LABEL
+# (documents.lang, joined on vec_id == doc_id) differs from the
+# query's: semantically-near, label-far examples are exactly what a
+# retrieval/classifier trainer wants as hard negatives. Runs on
+# sim04's IVF machinery (broadcast codebook, max-of-struct cell
+# assignment, probe-bounded candidate join), so the mining cost is the
+# ANN serving cost, not a quadratic sweep.
+
+
+@register(
+    "sim11_hard_negatives",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             {_SQL_NORM.format(a="embedding")} AS nrm
+      FROM embeddings
+    ),
+    lab AS (SELECT doc_id AS vec_id, lang FROM documents),
+    c AS (
+      SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+      FROM v WHERE {_SQL_CENT_PRED}
+    ),
+    -- sim6 pre-projected below the window (see _sql_asg_cte)
+    asg AS ({{ASG}}),
+    cells AS (
+      SELECT a.vec_id, a.cent_id AS cell, v.embedding, v.nrm, l.lang
+      FROM asg a JOIN v USING (vec_id) JOIN lab l USING (vec_id)
+      WHERE a.crank = 1
+    ),
+    probes AS (
+      SELECT a.vec_id AS query_id, a.cent_id AS cell,
+             v.embedding AS q_emb, v.nrm AS q_nrm, l.lang AS q_lang
+      FROM asg a JOIN v USING (vec_id) JOIN lab l USING (vec_id)
+      WHERE a.crank <= {{NPROBE}} AND a.vec_id % {{QUERY_STRIDE}} = 0
+    ),
+    scored AS (
+      SELECT p.query_id, p.q_lang, x.vec_id AS neighbor_id,
+             x.lang AS neg_lang, x.cell,
+             ROUND({{DOT}} / (p.q_nrm * x.nrm), 4) AS cosine_sim
+      FROM probes p JOIN cells x
+        ON x.cell = p.cell AND x.vec_id <> p.query_id
+           AND x.lang <> p.q_lang
+    )
+    SELECT query_id, q_lang, neighbor_id, neg_lang, cell,
+           cosine_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {{TOP_K}}
+    """.replace("{ASG}", _sql_asg_cte())
+       .replace("{NPROBE}", str(NPROBE))
+       .replace("{QUERY_STRIDE}", str(QUERY_STRIDE))
+       .replace("{TOP_K}", str(TOP_K))
+       .replace(
+           "{DOT}", _SQL_DOT.format(a="p.q_emb", b="x.embedding")
+       ),
+)
+def sim11_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: nearest cross-label neighbors per query.
+
+    For every query vector (vec_id % QUERY_STRIDE == 0), rank the
+    IVF-probed candidates whose ``lang`` label DIFFERS from the
+    query's by exact cosine and keep the top {TOP_K}: the
+    high-similarity / wrong-label examples used to train contrastive
+    retrievers and rerankers (in-batch negatives are easy; these are
+    the hard ones). Label source: ``documents.lang`` joined on
+    ``vec_id == doc_id`` (the fixtures' embeddings are 1:1 with docs).
+
+    Plan shape (sim04's): broadcast codebook, corpus cell assignment
+    as a partial-combinable max-of-struct (never a corpus-wide
+    window), probe-bounded equi-join for candidates; the label joins
+    are narrow (vec_id, lang) equi-joins — the corpus side co-shuffles
+    once, the query side broadcasts. The label filter prunes
+    candidates BEFORE the per-query top-k window, so the window input
+    stays probe-bounded. At 100 TB labels live beside the vectors
+    (partitioned-by-cell layout) and the filter pushes to the scan.
+    """
+    v = _with_norm(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    cents = v.filter(centroid_filter(spark, sf_dir)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    asg_sim = duck_round(
+        cosine(F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")),
+        6,
+    )
+    narrow = v.select("vec_id", "embedding", "nrm").crossJoin(
+        F.broadcast(cents)
+    ).select("vec_id", "cent_id", asg_sim.alias("asg_sim"))
+    cell_of = (
+        narrow.groupBy("vec_id")
+        .agg(F.max(F.struct("asg_sim", (-F.col("cent_id")).alias("nc"))).alias("m"))
+        .select("vec_id", (-F.col("m.nc")).alias("cell"))
+    )
+    cells = (
+        v.join(cell_of, "vec_id")
+        .join(lab, "vec_id")
+        .select("vec_id", "cell", "embedding", "nrm", "lang")
+    )
+    queries = v.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    q_narrow = queries.select("vec_id", "embedding", "nrm").crossJoin(
+        F.broadcast(cents)
+    ).select("vec_id", "cent_id", asg_sim.alias("asg_sim"))
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.desc("asg_sim"), F.asc("cent_id")
+    )
+    probes = (
+        q_narrow.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= NPROBE)
+        .join(
+            queries.select(
+                "vec_id",
+                F.col("embedding").alias("q_emb"),
+                F.col("nrm").alias("q_nrm"),
+            ),
+            "vec_id",
+        )
+        .join(lab.withColumnRenamed("lang", "q_lang"), "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cent_id").alias("cell"),
+            "q_emb",
+            "q_nrm",
+            "q_lang",
+        )
+    )
+    scored = (
+        cells.join(
+            F.broadcast(probes),
+            (cells.cell == probes.cell)
+            & (cells.vec_id != probes.query_id)
+            & (cells.lang != probes.q_lang),
+        )
+        .select(
+            "query_id",
+            "q_lang",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("lang").alias("neg_lang"),
+            cells.cell.alias("cell"),
+            duck_round(
+                cosine(
+                    F.col("q_emb"), F.col("embedding"),
+                    F.col("q_nrm"), F.col("nrm"),
+                ),
+                4,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "q_lang", "neighbor_id", "neg_lang",
+            "cell", "cosine_sim", "rank",
+        )
     )

@@ -1038,3 +1038,121 @@ def tx15_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tx16: bigram-LM quality score — the n-gram upgrade of tx13's unigram
+# filter (CCNet/KenLM pipelines score documents with a 5-gram LM; a
+# bigram model is the same machinery at the corpus scale an in-pipeline
+# fit allows, and the fixtures' 31-token vocabulary gives it 961 bigram
+# types — measured 402 distinct per-doc scores over 500 docs at sf0.01,
+# so the gate genuinely discriminates).
+
+TX16_KEEP_MIN = -3.43  # avg bigram-logprob floor (drops the low tail)
+TX16_HIGH_MIN = -3.38  # 'high' bucket: at/above the median band
+
+
+@register(
+    "tx16_bigram_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_sql_tokens()} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] AS u, t[i+1] AS v
+      FROM t, unnest(range(1, len(t))) AS r(i)
+    ),
+    cuv AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY u, v
+    ),
+    cu AS (SELECT u, CAST(SUM(cnt) AS BIGINT) AS tot FROM cuv GROUP BY u),
+    lp AS (
+      SELECT cuv.u, cuv.v,
+             {_sql_scaled_long("ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))")}
+               AS d6
+      FROM cuv JOIN cu USING (u)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(d6) AS BIGINT) AS s6
+      FROM bg JOIN lp ON bg.u = lp.u AND bg.v = lp.v
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           ROUND(CAST(s6 AS DOUBLE) / 1e6 / n_bigrams, 4) AS avg_logprob,
+           CASE WHEN ROUND(CAST(s6 AS DOUBLE) / 1e6 / n_bigrams, 4)
+                     >= {TX16_HIGH_MIN} THEN 'high'
+                WHEN ROUND(CAST(s6 AS DOUBLE) / 1e6 / n_bigrams, 4)
+                     >= {TX16_KEEP_MIN} THEN 'mid'
+                ELSE 'low' END AS lm_bucket,
+           ROUND(CAST(s6 AS DOUBLE) / 1e6 / n_bigrams, 4)
+             >= {TX16_KEEP_MIN} AS keep
+    FROM agg
+    """,
+)
+def tx16_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score: mean transition log-probability per doc.
+
+    tx13's filter upgraded one Markov order: corpus bigram counts
+    define p(v|u) = c(u,v)/c(u); each document scores the mean
+    ``ln p(v|u)`` over its ADJACENT token pairs, so documents whose
+    word order deviates from corpus patterns sink even when their
+    unigram mix looks normal (the failure mode unigram LMs can't see —
+    shuffled/templated text). Documents under 2 tokens have no
+    transitions and carry no row (same as the oracle's inner join).
+
+    Determinism mirrors tx13: one ``ln`` per bigram TYPE on the 1e-6
+    integer grid (vocabulary²-bounded table), exact BIGINT per-doc
+    sums, so token order / partitioning can't perturb the mean.
+
+    Scale shape: the bigram model is vocab²-bounded (broadcast), the
+    instance join is map-side, and the per-doc aggregate partial-
+    aggregates on doc_id — one corpus-scale shuffle. The bigram
+    explode is width-1 amplification of the token stream (n-1 pairs
+    per n tokens), not a join blowup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # the n >= 2 filter guards F.slice's length arg (negative length
+    # throws on empty token arrays); <2-token docs have no bigrams
+    # anyway, matching the oracle's inner join
+    t = docs.select("doc_id", tokens().alias("t")).filter(
+        F.size("t") >= 2
+    )
+    n = F.size("t")
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 1).alias("u"),
+                F.slice(F.col("t"), 2, n - 1).alias("v"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    cuv = bg.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    cu = cuv.groupBy("u").agg(F.sum("cnt").alias("tot"))
+    lp = cuv.join(F.broadcast(cu), "u").select(
+        "u",
+        "v",
+        _scaled_long(
+            F.log(F.col("cnt").cast("double") / F.col("tot").cast("double"))
+        ).alias("d6"),
+    )
+    agg = (
+        bg.join(F.broadcast(lp), ["u", "v"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("d6").alias("s6"),
+        )
+    )
+    avg = duck_round(
+        F.col("s6").cast("double") / F.lit(1e6) / F.col("n_bigrams"), 4
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        avg.alias("avg_logprob"),
+        F.when(avg >= TX16_HIGH_MIN, F.lit("high"))
+        .when(avg >= TX16_KEEP_MIN, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("lm_bucket"),
+        (avg >= TX16_KEEP_MIN).alias("keep"),
+    )

@@ -30,6 +30,17 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # DuckDB-runnable SQL; None → rows-only check
     doc: str
+    # Optional DuckDB-RESOURCE-shaped twin of ``oracle`` for the scale
+    # probe's out-of-process staging ONLY: a list of statements executed
+    # in order, the LAST being the SELECT whose result is staged. Same
+    # semantics and values as ``oracle`` (pinned equal by pytest on the
+    # gate fixtures); exists because a handful of oracles need work
+    # SEQUENCED to bound DuckDB's memory (e.g. chunked pair
+    # aggregation), and DuckDB schedules one statement's independent
+    # pipelines concurrently, so the sequencing must live across
+    # statements. The driver gate and local sweeps always use
+    # ``oracle``.
+    oracle_stage: tuple[str, ...] | None = None
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -47,7 +58,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str,
+    oracle: str | None = None,
+    oracle_stage: tuple[str, ...] | None = None,
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query to the registry."""
     import os
 
@@ -68,7 +83,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         prepared.__name__ = fn.__name__
         prepared.__doc__ = fn.__doc__
         _REGISTRY[name] = QuerySpec(
-            name=name, fn=prepared, oracle=oracle, doc=fn.__doc__ or ""
+            name=name,
+            fn=prepared,
+            oracle=oracle,
+            doc=fn.__doc__ or "",
+            oracle_stage=oracle_stage,
         )
         return fn
 

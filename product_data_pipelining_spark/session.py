@@ -28,6 +28,32 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def available_ram_gb() -> int:
+    """Host's currently-available RAM in GiB (MemAvailable, which
+    counts reclaimable page cache — the honest budget for a new JVM).
+    Falls back to total RAM, then to a conservative 16 GiB."""
+    try:
+        with open("/proc/meminfo") as f:
+            info = dict(
+                (line.split(":")[0], int(line.split()[1]))  # kB
+                for line in f
+                if ":" in line and line.split()[1:2]
+            )
+        kb = info.get("MemAvailable", info.get("MemTotal", 16 * 1024 * 1024))
+        return max(1, kb // (1024 * 1024))
+    except (OSError, ValueError, IndexError):
+        return 16
+
+
+def _default_heap_gb() -> int:
+    """Default driver heap: a quarter of available RAM, clamped to
+    [4, 24] GiB. 24g is the tuned ceiling for the 128 GiB probe box
+    (32-way SHJ builds beside an sf10 table cache); hosts with less
+    RAM scale down instead of inviting the OOM killer — bench.py's
+    in-process DuckDB baseline budgets its own quarter beside this."""
+    return min(24, max(4, available_ram_gb() // 4))
+
+
 def get_spark(
     app_name: str = "product_data_pipelining_spark",
     cpus: int | None = None,
@@ -115,8 +141,14 @@ def get_spark(
         # table caches. 8g starved 32-way ShuffledHashJoin builds next to
         # an sf10 cache (storageFraction protects cached blocks from
         # eviction); on a real cluster this maps to executor memory and
-        # is sized per-node, not per-job.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # is sized per-node, not per-job. The default is derived from
+        # the host's available RAM (bench.py runs a DuckDB baseline in
+        # the same process, so the 24g ceiling must not be assumed on
+        # smaller hosts — see _default_heap_gb).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", f"{_default_heap_gb()}g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -118,8 +118,17 @@ def stage_oracles(sf_dir: str, stage_dir: str) -> None:
             for t in TPCH_TABLES:
                 con.execute(duck_view_sql(sf_dir, t).replace(
                     "CREATE VIEW", "CREATE OR REPLACE VIEW"))
+            final = spec.oracle
+            if spec.oracle_stage is not None:
+                # resource-shaped staging twin (same values, pinned by
+                # pytest): run the sequenced prep statements, COPY the
+                # final SELECT — statements are the only boundary DuckDB
+                # won't parallelize across, which is the whole point
+                *prep, final = spec.oracle_stage
+                for stmt in prep:
+                    con.execute(stmt)
             con.execute(
-                f"COPY ({spec.oracle}) TO '{pq}' (FORMAT PARQUET)"
+                f"COPY ({final}) TO '{pq}' (FORMAT PARQUET)"
             )
             n = con.execute(
                 f"SELECT COUNT(*) FROM read_parquet('{pq}')"

@@ -44,6 +44,7 @@ BNLJ_ALLOWED = {
     "sim08_ann_ivfpq_rerank",          # same coarse stage + bounded candidate broadcast
     "dd13_semantic_dedup",             # fixed centroid-set replication (coarse quantizer)
     "sim09_knn_graph",                 # fixed centroid-set replication (coarse quantizer)
+    "sim11_hard_negatives",            # fixed centroid-set replication (sim04's coarse stage)
     "tx13_unigram_logprob",            # one-row corpus-total replication
     "tx14_dsir_importance",            # two one-row LM-total replications
     "chk05_distribution_drift",        # one-row snapshot-total replication

@@ -1218,3 +1218,139 @@ def test_curation_flag_joins_are_size_aware_not_forced(spark, sf_dir):
     # dup_flag, con_flag, and the benchmark shingle set all broadcast
     # while their base-relation stats fit the session threshold
     assert plan.count("BroadcastHashJoin") >= 3, plan[:1500]
+
+
+def _py_grid6(x: float) -> int:
+    """Python mirror of functions.rounding._scaled_long (1e-6 grid,
+    half away from zero)."""
+    import math
+
+    s = x * 1e6
+    return int(math.floor(s + 0.5) if x >= 0 else math.ceil(s - 0.5))
+
+
+def _py_duck_round(x: float, scale: int) -> float:
+    import math
+
+    s = float(10**scale)
+    r = math.floor(x * s + 0.5) if x >= 0 else math.ceil(x * s - 0.5)
+    return r / s
+
+
+def test_hard_negatives_are_cross_label_and_near(spark):
+    """sim11 contract: every mined negative's lang differs from its
+    query's; ranks are dense 1..k per query by descending cosine; and
+    each returned pair's cosine equals the exact brute-force recompute
+    (mining changes the candidate set, never the scoring — sim04's
+    invariant)."""
+    import math
+
+    sfd = "/root/testdata/sf0.01"
+    rows = QUERIES["sim11_hard_negatives"].fn(spark, sfd).collect()
+    assert rows, "no hard negatives on the fixture — degenerate"
+    docs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sfd, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["q_lang"] == docs[r["query_id"]]
+        assert r["neg_lang"] == docs[r["neighbor_id"]]
+        assert r["neg_lang"] != r["q_lang"], (
+            "same-label pair emitted as a hard negative"
+        )
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["cosine_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True), (q, sims)
+    emb = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load_table(spark, sfd, "embeddings").collect()
+    }
+
+    def nrm(v):
+        return math.sqrt(
+            math.fsum(float(x) * float(x) for x in v)
+        )
+
+    for r in rows[:50]:
+        qe, ne = emb[r["query_id"]], emb[r["neighbor_id"]]
+        dot = math.fsum(float(a) * float(b) for a, b in zip(qe, ne))
+        want = _py_duck_round(dot / (nrm(qe) * nrm(ne)), 4)
+        assert abs(r["cosine_sim"] - want) <= 1e-9, (r, want)
+
+
+def test_bigram_logprob_is_exact_lm_recompute(spark):
+    """tx16 contract: per-doc avg bigram logprob equals a bit-exact
+    Python recompute of the corpus bigram LM on the 1e-6 grid, buckets
+    discriminate (all three populated on the fixture), and <2-token
+    docs carry no row."""
+    import math
+    from collections import Counter
+
+    sfd = "/root/testdata/sf0.01"
+    rows = QUERIES["tx16_bigram_logprob"].fn(spark, sfd).collect()
+    assert rows
+    toks = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in load_table(spark, sfd, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    cuv: Counter = Counter()
+    for ts in toks.values():
+        for u, v in zip(ts, ts[1:]):
+            cuv[(u, v)] += 1
+    cu: Counter = Counter()
+    for (u, _v), n in cuv.items():
+        cu[u] += n
+    # one ln per bigram TYPE on the 1e-6 grid, like both engines
+    d6 = {
+        (u, v): _py_grid6(math.log(n / cu[u]))
+        for (u, v), n in cuv.items()
+    }
+    got = {r["doc_id"]: r for r in rows}
+    for doc_id, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            assert doc_id not in got
+            continue
+        s6 = sum(d6[p] for p in pairs)
+        want = _py_duck_round(s6 / 1e6 / len(pairs), 4)
+        r = got[doc_id]
+        assert r["n_bigrams"] == len(pairs)
+        assert abs(r["avg_logprob"] - want) <= 1e-12, (doc_id, r, want)
+    assert {r["lm_bucket"] for r in rows} == {"high", "mid", "low"}
+
+
+def test_pipe01_staged_oracle_matches_plain():
+    """pipe01's oracle_stage (the scale probe's sequenced TEMP-TABLE
+    form — statements are DuckDB's only non-parallel boundary) must
+    produce the IDENTICAL frame as the registered single-statement
+    oracle at both gate SFs."""
+    import duckdb
+
+    from product_data_pipelining_spark.checks.oracle_compare import (
+        duck_view_sql,
+        frames_match,
+    )
+    from product_data_pipelining_spark.io import TPCH_TABLES
+
+    spec = QUERIES["pipe01_curation_funnel"]
+    assert spec.oracle_stage is not None
+    for sfd in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        con = duckdb.connect()
+        for t in TPCH_TABLES:
+            con.execute(duck_view_sql(sfd, t))
+        plain = con.execute(spec.oracle).df()
+        *prep, final = spec.oracle_stage
+        for stmt in prep:
+            con.execute(stmt)
+        staged = con.execute(final).df()
+        ok, why = frames_match(staged, plain)
+        assert ok, f"{sfd}: staged oracle diverges from plain: {why}"
+        con.close()
