@@ -19,8 +19,14 @@ median of DUCK_REPEATS runs of the same oracle SQL on the same parquet.
 A frozen idle-machine snapshot lives in BASELINE_DUCKDB.json for
 cross-checking.
 
-Each query is materialized via a count-style action (rows fully computed,
-nothing collected to the driver).
+Each query is materialized COMPLETELY on both engines, with no
+driver/Python result conversion on either: Spark executes a noop-format
+write (every column of every row computed — a count() action is NOT
+used because Catalyst's join elimination + column pruning can strip
+entire stages under count; pipe01's count plan at sf10 had 0 of the
+full plan's 6 joins, timing the scan instead of the funnel), and DuckDB
+executes CREATE TEMP TABLE AS (engine-side materialization, the
+fetchall() Python-tuple tax removed — it dominated big-output oracles).
 """
 
 from __future__ import annotations
@@ -143,8 +149,13 @@ HEADLINE = [
     "mm02_decode_features",
     # the composed curation funnel (oracled): quality -> near-dup ->
     # decontaminate -> holdout in ONE attributed pass — the end-to-end
-    # number a training-data pipeline actually ships
-    "pipe01_curation_funnel",
+    # number a training-data pipeline actually ships. The BENCHMARKED
+    # funnel is the banded-LSH production mode: pipe01's exact pair
+    # stage is the ground-truth baseline whose corpus-scale pair
+    # exchange (~2B pairs / 50+ GB shuffle at sf10) exceeds a single
+    # box's scratch in EITHER engine — it stays value-verified at
+    # sf<=1 via the driver gate, sweeps, and the sf1 probe
+    "pipe02_curation_funnel_lsh",
     # MMR diversified retrieval (rows-only: greedy re-rank, bit-exact
     # Python-mirror tested): bounded-broadcast GEMM candidates + 40-row
     # applyInPandas groups — re-rank cost is corpus-size-independent
@@ -201,15 +212,31 @@ def main() -> None:
     # ~10x cache-build penalty that has nothing to do with the plan.)
     # DuckDB gets one warm run per oracle at the bench SF (OS page cache,
     # catalog bind) for the same reason.
+    def run_spark(df) -> None:
+        # FULL materialization of every output column. Not count():
+        # Catalyst's join elimination + column pruning can strip whole
+        # stages from a count plan (pipe01's count plan has 0 of the
+        # full plan's 6 joins), silently timing a different query.
+        # The noop source computes and discards rows executor-side, so
+        # no result transfer distorts big-output queries either.
+        df.write.format("noop").mode("overwrite").save()
+
+    def run_duck(sql: str) -> None:
+        # engine-side materialization: the fetchall() Python-tuple
+        # conversion was charging DuckDB a driver tax Spark's noop
+        # write doesn't pay (23M-row ev02 spent most of its "query"
+        # time building Python objects)
+        con.execute(f"CREATE OR REPLACE TEMP TABLE __bench_out AS {sql}")
+
     for name in HEADLINE:
         try:
-            specs[name].fn(spark, SF_DIR).count()
+            run_spark(specs[name].fn(spark, SF_DIR))
         except Exception as exc:  # never let warm-up kill the bench
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
     for name in HEADLINE:
         if specs[name].oracle is not None and not SKIP_DUCKDB:
             try:
-                con.execute(specs[name].oracle).fetchall()
+                run_duck(specs[name].oracle)
             except Exception as exc:
                 print(f"# duck warmup {name} failed: {exc}", file=sys.stderr)
 
@@ -234,11 +261,10 @@ def main() -> None:
     spread: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
-        samples, rows = [], 0
+        samples = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            df = spec.fn(spark, SF_DIR)
-            rows = df.count()
+            run_spark(spec.fn(spark, SF_DIR))
             samples.append(time.perf_counter() - t0)
         med = statistics.median(samples)
         timings[name] = round(med, 3)
@@ -246,8 +272,7 @@ def main() -> None:
             (max(samples) - min(samples)) / med, 2
         ) if med > 0 else 0.0
         print(
-            f"# {name}: {timings[name]:.3f}s (spread {spread[name]:.2f}, "
-            f"{rows} rows)",
+            f"# {name}: {timings[name]:.3f}s (spread {spread[name]:.2f})",
             file=sys.stderr,
         )
         if spec.oracle is not None and not SKIP_DUCKDB:
@@ -255,7 +280,7 @@ def main() -> None:
                 dsamples = []
                 for _ in range(DUCK_REPEATS):
                     t0 = time.perf_counter()
-                    con.execute(spec.oracle).fetchall()
+                    run_duck(spec.oracle)
                     dsamples.append(time.perf_counter() - t0)
                 duck_timings[name] = round(statistics.median(dsamples), 3)
                 print(f"#   duck: {duck_timings[name]:.3f}s", file=sys.stderr)

@@ -188,12 +188,107 @@ _PIPE_ORACLE_STAGE = (
     oracle_stage=_PIPE_ORACLE_STAGE,
 )
 def pipe01_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-compat funnel: exact pair stage (see curation_funnel)."""
+    """Oracle-compat funnel: exact pair stage (see curation_funnel).
+
+    The exact pair stage is the funnel's ground-truth baseline (sim01's
+    role in the ANN ladder): every pair, no recall question — and
+    quadratic in shared-shingle group sizes, so its corpus-scale cost
+    is a full pair-multiset exchange (~2B distinct pairs / ~50 GB+ of
+    shuffle at sf10 on the fixtures' 31-word vocab — fine on a
+    cluster's distributed scratch, beyond a single box's disk, in
+    EITHER engine: DuckDB's oracle needs the sequenced chunk staging
+    above). Value-verified at sf0.001-0.1 (driver gate + sweep) and
+    sf1 (scale probe); ``pipe02_curation_funnel_lsh`` is the
+    at-scale-benchmarked production path.
+    """
     return curation_funnel(spark, sf_dir, pair_stage="exact")
 
 
+# pipe02's oracle: the SAME funnel with dd04's banded MinHash-LSH pair
+# stage (md5 band keys — reproducible in DuckDB; max_bucket=None is the
+# oracle-compat cap mode, dd04's convention). The only oracle difference
+# from pipe01 is where `dupes` comes from: banded candidates verified by
+# exact Jaccard instead of the full exact pair multiset.
+def _pipe02_oracle() -> str:
+    from .dedup import _SLICE_LEN, _SLICE_OFFSETS, NUM_BANDS
+
+    mins = ",\n             ".join(
+        f"min(substr(md5(s), {o}, {_SLICE_LEN})) AS h{j}"
+        for j, o in enumerate(_SLICE_OFFSETS)
+    )
+    band_case = " ".join(
+        f"WHEN {b} THEN md5(h{2 * b} || h{2 * b + 1})"
+        for b in range(NUM_BANDS)
+    )
+    band_ids = ", ".join(map(str, range(NUM_BANDS)))
+    return (
+        _PIPE_BASE_CTES
+        + f""",
+    shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM shx GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b, CASE b {band_case} END AS band_key
+      FROM sig CROSS JOIN (SELECT unnest([{band_ids}]) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    exn AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS nsh FROM sh
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+      FROM cand c
+      JOIN exn a ON a.doc_id = c.doc_a
+      JOIN exn b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    dupes AS (
+      SELECT DISTINCT doc_b AS doc_id FROM verified
+      WHERE shared * 1.0 / (na + nb - shared) >= {JACCARD_THRESHOLD}
+    ),
+"""
+        + _PIPE_TAIL
+    )
+
+
+@register("pipe02_curation_funnel_lsh", oracle=_pipe02_oracle())
+def pipe02_curation_funnel_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production curation funnel: banded MinHash-LSH pair stage.
+
+    The funnel users actually run at 100 TB: candidate pairs come from
+    dd04's banded LSH buckets (cost scales with bucket occupancy, not
+    corpus size — no corpus-scale pair exchange exists in the plan),
+    verified by exact Jaccard before any document is dropped. Band
+    keys are md5 (DuckDB-reproducible) with the oracle-compat uncapped
+    bucket mode, so the whole funnel value-checks against SQL at every
+    probe SF — including sf10, where pipe01's exact pair stage exceeds
+    single-box scratch in both engines. Candidate recall at the
+    near-dup grade the threshold targets is 1-(1-j²)⁴ (≈ 1.0 at
+    j ≥ 0.9); pairs that qualify carry exact Jaccard either way.
+    """
+    return curation_funnel(
+        spark,
+        sf_dir,
+        pair_stage="lsh",
+        lsh_hash_mode="md5",
+        lsh_max_bucket=None,
+    )
+
+
 def curation_funnel(
-    spark: SparkSession, sf_dir: str, pair_stage: str = "exact"
+    spark: SparkSession,
+    sf_dir: str,
+    pair_stage: str = "exact",
+    lsh_hash_mode: str = "xxhash64",
+    lsh_max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Raw pool -> training set, with per-document drop attribution.
 
@@ -282,8 +377,8 @@ def curation_funnel(
         pairs = minhash_lsh_pairs(
             spark,
             sf_dir,
-            hash_mode="xxhash64",
-            max_bucket=LSH_MAX_BUCKET,
+            hash_mode=lsh_hash_mode,
+            max_bucket=lsh_max_bucket,
             sh_arr=sh,
         )
     dupes = pairs.select(F.col("doc_b").alias("doc_id")).distinct()

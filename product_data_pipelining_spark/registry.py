@@ -128,8 +128,12 @@ _DRIVER_PRIORITY = [
     # are driver-proxied by m03/m03/m02 — their named twins run in the
     # local oracle-parity sweep, freeing rows for bench headliners)
     "p10_date_range_predicate",
-    # joins (J1-J3)
-    "j01_left_join_star_enrich",
+    # joins (J1-J3). j01 rotated OUT this round: J1's LEFT star-join
+    # shape keeps its driver-visible row via m06 (fact_prices = the
+    # same LEFT equi join x2, in-window, listed as J1 co-evidence in
+    # VERDICT r6) and j01 stays value-swept locally; its row goes to
+    # the new bench headliner pipe02 (first-50 window rule)
+    "pipe02_curation_funnel_lsh",
     # J2 rotated out to driver-proxy coverage (m08 is the same INNER
     # join dim-agg CTE shape, in-window) so the new bench headliner
     # sim09 gets its driver-visible row (first-50 window rule)
