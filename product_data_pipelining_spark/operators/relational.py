@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import broadcast_or_shuffle_hash, load_table
 from ..functions.rounding import (
     _scaled_long,
     det_avg,
@@ -233,8 +233,10 @@ def j01_left_join_star_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     supp = _t(spark, sf_dir, "supplier")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left")
+        li.join(broadcast_or_shuffle_hash(part, part),
+                li.l_partkey == part.p_partkey, "left")
+        .join(broadcast_or_shuffle_hash(supp, supp),
+              li.l_suppkey == supp.s_suppkey, "left")
         .select(
             "l_orderkey", "l_linenumber", "l_extendedprice", "p_brand", "p_type", "s_name"
         )
@@ -343,7 +345,11 @@ def a01_group_distinct_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+    joined = li.join(
+        broadcast_or_shuffle_hash(part, part),
+        li.l_partkey == part.p_partkey,
+        "inner",
+    )
     return joined.groupBy(F.col("p_brand").alias("brand")).agg(
         F.countDistinct("l_partkey").alias("product_count"),
         det_avg("l_extendedprice").alias("avg_regular_price"),
@@ -636,7 +642,11 @@ def a09_regroup_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_avg_raw("o_totalprice").alias("avg_price"),
     )
     return (
-        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey, "inner")
+        per_cust.join(
+            broadcast_or_shuffle_hash(c, c),
+            per_cust.o_custkey == c.c_custkey,
+            "inner",
+        )
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
             det_avg("avg_price").alias("avg_avg_price"),
@@ -1154,9 +1164,10 @@ def chk01_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
 
     def orphans(child, key, parent, pkey, label):
+        keys = parent.select(pkey)
         return (
             child.join(
-                F.broadcast(parent.select(pkey)),
+                broadcast_or_shuffle_hash(keys, keys),
                 F.col(key) == F.col(pkey),
                 "left_anti",
             )
@@ -1348,7 +1359,7 @@ def ev05_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
     )
     return (
-        conv.join(F.broadcast(cust), "user_id")
+        conv.join(broadcast_or_shuffle_hash(cust, cust), "user_id")
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_signup_users"),

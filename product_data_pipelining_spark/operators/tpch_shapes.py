@@ -27,12 +27,22 @@ from ..functions.rounding import (
     duck_round,
     sql_det_sum,
 )
-from ..io import load_table
+from ..io import broadcast_or_shuffle_hash, load_table
 from ..registry import register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+# Size-aware build hint for every SF-proportional build side in this
+# module: broadcast while the honest base relation fits the session
+# threshold, shuffle-hash (or SMJ past the per-task budget) when it
+# does not. A hard F.broadcast is reserved for relations bounded by
+# CONSTRUCTION (nation/region, one-row scalar aggregates) — a forced
+# hint on anything that grows with the data is a driver OOM at the
+# 100 TB design point, because a hint can never be demoted by AQE.
+_bosh = broadcast_or_shuffle_hash
 
 
 _DEC = "decimal(27,10)"
@@ -135,7 +145,11 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: 6-table join with a disjunctive cross-dim filter.
 
-    Supplier-side and customer-side nation lookups broadcast; the
+    Supplier-side and customer-side nation lookups broadcast (25-row
+    dimension); the enriched supplier/customer/order builds are
+    SF-proportional, so they take size-aware hints
+    (``io.broadcast_or_shuffle_hash``) — broadcast at bench SF,
+    shuffle-hash joins co-partitioned on the fact keys at 100 TB. The
     nation-pair disjunction can only be applied once both sides are
     joined, but each side's IN-(two nations) implication is pushed to
     its dimension so lineitem meets orders already half-filtered.
@@ -153,12 +167,12 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = c.join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey).select(
         "c_custkey", F.col("n_name").alias("cust_nation")
     )
-    ord_cust = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey).select(
+    ord_cust = o.join(_bosh(cust, c), o.o_custkey == cust.c_custkey).select(
         "o_orderkey", "cust_nation"
     )
     joined = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(ord_cust), li.l_orderkey == ord_cust.o_orderkey)
+        li.join(_bosh(supp, s), li.l_suppkey == supp.s_suppkey)
+        .join(_bosh(ord_cust, o), li.l_orderkey == ord_cust.o_orderkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     return (
@@ -214,8 +228,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal"
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        li.join(_bosh(o, o), li.l_orderkey == o.o_orderkey)
+        .join(_bosh(cust, c), o.o_custkey == cust.c_custkey)
         .groupBy(
             "c_custkey",
             "c_name",
@@ -305,7 +319,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
         F.lit(0).cast(_DEC)
     )
-    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    agg = li.join(_bosh(p, p), li.l_partkey == p.p_partkey).agg(
         F.sum(promo).cast("double").alias("_num"),
         F.sum(disc).cast("double").alias("_den"),
     )
@@ -356,10 +370,10 @@ def tpch_q16_supplier_part_counts(
         .select("s_suppkey")
     )
     pairs = li.join(
-        F.broadcast(bad_supp),
+        _bosh(bad_supp, bad_supp),
         li.l_suppkey == bad_supp.s_suppkey,
         "left_anti",
-    ).join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    ).join(_bosh(p, p), li.l_partkey == p.p_partkey)
     return pairs.groupBy("p_brand", "p_type", "p_size").agg(
         F.countDistinct("l_suppkey").alias("supplier_cnt")
     )
@@ -392,9 +406,12 @@ def tpch_q18_large_volume_customers(
     The big-order key set is an aggregate of lineitem itself; Spark
     evaluates it once and semi-joins orders against it. The final
     per-order quantity re-aggregates only surviving lines. Both
-    aggregates are partial-agg friendly; the semi join's build side
-    (orders exceeding the threshold) is small by construction — at
-    scale AQE converts it to broadcast at runtime.
+    aggregates are partial-agg friendly. All three build sides (the
+    big-order key set, the surviving orders, the customer decoration)
+    are SF-proportional, so every hint is size-aware
+    (``io.broadcast_or_shuffle_hash``) — at 100 TB the key-set and
+    customer joins become shuffle-hash on the join keys and AQE is
+    free to re-promote genuinely small runtime sides to broadcast.
     """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -406,11 +423,11 @@ def tpch_q18_large_volume_customers(
         .select(F.col("l_orderkey").alias("_big_key"))
     )
     o_big = o.join(
-        F.broadcast(big), o.o_orderkey == F.col("_big_key"), "left_semi"
+        _bosh(big, big), o.o_orderkey == F.col("_big_key"), "left_semi"
     )
     return (
-        li.join(F.broadcast(o_big), li.l_orderkey == o_big.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        li.join(_bosh(o_big, o), li.l_orderkey == o_big.o_orderkey)
+        .join(_bosh(c, c), F.col("o_custkey") == c.c_custkey)
         .groupBy(
             "c_name",
             "c_custkey",
@@ -469,7 +486,7 @@ def tpch_q19_disjunctive_predicates(
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(_bosh(p, p), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             det_sum(
@@ -608,8 +625,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     return (
-        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        best.join(_bosh(p, p), best.l_partkey == p.p_partkey)
+        .join(_bosh(s, s), best.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             "s_name",
@@ -655,11 +672,15 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: national market share — ratio of conditional sums per year.
 
-    Eight-way join where every dimension side broadcasts; lineitem is the
-    only shuffled relation and it shuffles exactly once (to the year
-    aggregate). The customer-side region filter prunes orders before they
-    meet lineitem. Volumes accumulate as 1e-6-grid BIGINTs so the ratio
-    is order-independent and hash-stable against DuckDB.
+    Eight-way join: the fixed-size dimensions (nation, region)
+    broadcast hard; every SF-proportional build (region's customers,
+    the two-year order slice, filtered part, supplier⋈nation) takes a
+    size-aware hint (``io.broadcast_or_shuffle_hash``) — broadcast at
+    bench SF, shuffle-hash on the fact keys at 100 TB, where AQE may
+    still re-promote small runtime sides. The customer-side region
+    filter prunes orders before they meet lineitem. Volumes accumulate
+    as 1e-6-grid BIGINTs so the ratio is order-independent and
+    hash-stable against DuckDB.
     """
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
@@ -679,7 +700,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     ord_in = o.join(
-        F.broadcast(cust_region), o.o_custkey == cust_region.c_custkey
+        _bosh(cust_region, c), o.o_custkey == cust_region.c_custkey
     ).select(
         "o_orderkey",
         F.year(od).cast("long").alias("o_year"),
@@ -689,9 +710,9 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = _scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
-        .join(F.broadcast(ord_in), li.l_orderkey == ord_in.o_orderkey)
+        li.join(_bosh(p, p), li.l_partkey == p.p_partkey)
+        .join(_bosh(supp_nat, s), li.l_suppkey == supp_nat.s_suppkey)
+        .join(_bosh(ord_in, o), li.l_orderkey == ord_in.o_orderkey)
         .select("o_year", "supp_nation", vol.alias("volume"))
     )
     return joined.groupBy("o_year").agg(
@@ -727,9 +748,14 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adapted (no partsupp): supply cost proxied as ``0.6 * p_retailprice *
     l_quantity``; the LIKE filter on p_name keeps Q9's
     non-sargable-dimension-predicate character (pushed to the part scan,
-    prunes the broadcast build side). lineitem shuffles once to the
-    (nation, year) aggregate; the arithmetic stays left-associated in
-    both engines so the grid-rounded partials agree bit-for-bit.
+    prunes that build side). Every build here grows with SF — worst the
+    ``ord_year`` projection of the ENTIRE orders table — so all three
+    joins take size-aware hints (``io.broadcast_or_shuffle_hash``): at
+    100 TB the lineitem⋈orders leg runs as a shuffle-hash join
+    co-partitioned on orderkey instead of a tens-of-GB forced broadcast.
+    lineitem then shuffles once to the (nation, year) aggregate; the
+    arithmetic stays left-associated in both engines so the
+    grid-rounded partials agree bit-for-bit.
     """
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
@@ -748,9 +774,9 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
-        .join(F.broadcast(ord_year), li.l_orderkey == ord_year.o_orderkey)
+        li.join(_bosh(p, p), li.l_partkey == p.p_partkey)
+        .join(_bosh(supp_nat, s), li.l_suppkey == supp_nat.s_suppkey)
+        .join(_bosh(ord_year, ord_year), li.l_orderkey == ord_year.o_orderkey)
         .groupBy("nation", "o_year")
         .agg(det_sum(profit).alias("sum_profit"))
     )
@@ -841,7 +867,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("_max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(_bosh(s, s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -873,7 +899,7 @@ def tpch_q17_small_quantity_revenue(
     """
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    joined = li.join(_bosh(p, p), li.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     w = Window.partitionBy("l_partkey")
@@ -931,14 +957,17 @@ def tpch_q20_part_promotion_suppliers(
         & (sd < F.lit("1997-01-01").cast("date"))
     )
     heavy = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(_bosh(p, p), li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("_qty"))
         .filter(F.col("_qty") > 300)
         .select("l_suppkey")
     )
     return (
-        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        # heavy's rows are a subset of distinct supplier keys, so the
+        # honest size question is whether the supplier key set fits
+        s.join(_bosh(heavy, s.select("s_suppkey")),
+               s.s_suppkey == heavy.l_suppkey, "left_semi")
         .join(F.broadcast(n.select("n_nationkey")),
               s.s_nationkey == F.col("n_nationkey"), "left_semi")
         .select("s_name", duck_round(F.col("s_acctbal"), 2).alias("acctbal"))
@@ -994,11 +1023,12 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey", "s_name"
     )
+    okeys = o.select("o_orderkey")
     l1 = (
         li.filter(F.col("l_returnflag") == "R")
-        .join(F.broadcast(o.select("o_orderkey")),
+        .join(_bosh(okeys, okeys),
               li.l_orderkey == F.col("o_orderkey"), "left_semi")
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(_bosh(supp, s), li.l_suppkey == supp.s_suppkey)
     )
     return (
         l1.join(order_stats, "l_orderkey")
@@ -1051,7 +1081,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem")
     grouped = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey, "left_semi")
+        li.join(_bosh(sup, s), li.l_suppkey == sup.s_suppkey, "left_semi")
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
             F.sum(

@@ -65,6 +65,85 @@ def exchange_count(df: DataFrame) -> int:
     )
 
 
+# Tables whose size grows with the data (SF-proportional). Forcing one
+# of these onto the build side of a broadcast is a driver/executor OOM
+# at the 100 TB design point — a hard hint can never be demoted by AQE.
+FACT_TABLES = frozenset(
+    {
+        "lineitem",
+        "orders",
+        "customer",
+        "part",
+        "supplier",
+        "documents",
+        "embeddings",
+        "events",
+    }
+)
+
+_AGG_EXECS = ("HashAggregateExec", "SortAggregateExec", "ObjectHashAggregateExec")
+
+
+def _jchildren(jnode):
+    seq = jnode.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _jwalk(jnode):
+    yield jnode
+    for child in _jchildren(jnode):
+        yield from _jwalk(child)
+
+
+def _scan_tables(jnode) -> set[str]:
+    """Base parquet tables scanned anywhere in a physical subtree."""
+    tables: set[str] = set()
+    for n in _jwalk(jnode):
+        if n.getClass().getSimpleName() != "FileSourceScanExec":
+            continue
+        paths = n.relation().location().rootPaths()
+        for i in range(paths.size()):
+            base = str(paths.apply(i)).rstrip("/").rsplit("/", 1)[-1]
+            tables.add(base.removesuffix(".parquet"))
+    return tables
+
+
+def _has_scalar_aggregate(jnode) -> bool:
+    """True when the subtree reduces through a zero-key (one-row) aggregate."""
+    for n in _jwalk(jnode):
+        if n.getClass().getSimpleName() in _AGG_EXECS:
+            if n.groupingExpressions().isEmpty():
+                return True
+    return False
+
+
+def forced_fact_broadcasts(df: DataFrame) -> list[str]:
+    """BroadcastExchange subtrees rooted in a fact-scale parquet scan.
+
+    Evaluate under ``spark.sql.autoBroadcastJoinThreshold=-1`` (and AQE
+    off, so exchanges are visible in ``executedPlan``): with automatic
+    broadcasting disabled, any BroadcastExchange left in the plan was
+    FORCED by a hard ``F.broadcast`` hint — the size-aware
+    ``io.broadcast_or_shuffle_hash`` helper honors the disabled
+    threshold and emits none. An exchange is reported when its subtree
+    scans one of :data:`FACT_TABLES` and is not reduced through a
+    scalar (zero-grouping-key, hence one-row) aggregate first; builds
+    bounded by construction in other ways (a vocabulary, a ⌈√N⌉
+    codebook) are the caller's documented allowlist, not a pass here.
+    """
+    root = df._jdf.queryExecution().executedPlan()
+    offenders: list[str] = []
+    for n in _jwalk(root):
+        if not n.getClass().getSimpleName().startswith("BroadcastExchange"):
+            continue
+        bad = _scan_tables(n) & FACT_TABLES
+        if bad and not _has_scalar_aggregate(n):
+            offenders.append(
+                f"forced BroadcastExchange over fact scan(s) {sorted(bad)}"
+            )
+    return offenders
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
     """True when the plan contains a map-side partial aggregate.
 

@@ -26,7 +26,10 @@ import re
 
 import pytest
 
-from product_data_pipelining_spark.plans.inspect import physical_plan
+from product_data_pipelining_spark.plans.inspect import (
+    forced_fact_broadcasts,
+    physical_plan,
+)
 from product_data_pipelining_spark.registry import all_queries
 
 QUERIES = all_queries()
@@ -99,6 +102,67 @@ def test_plan_guardrails(name, spark, sf_dir):
             f"{name}: Arrow Python node outside the declared multimodal/"
             "cogroup families"
         )
+
+
+# Queries allowed to FORCE a broadcast whose build subtree scans a
+# fact-scale table: every entry's build side is bounded by CONSTRUCTION
+# (a fixed-width sketch, a vocabulary, a ⌈√N⌉ codebook, a capped query
+# block) rather than by a zero-key aggregate the sweep can see. A new
+# query that hard-broadcasts an SF-proportional relation fails the
+# sweep and must switch to io.broadcast_or_shuffle_hash — not join
+# this list without a boundedness argument.
+FORCED_BROADCAST_ALLOWED = {
+    "a23_countmin_frequency",      # width x depth sketch table (fixed)
+    "chk02_outlier_zscore",        # 3-row moment frame re-scan
+    "chk03_outlier_robust_mad",    # per-group median/MAD, |groups|-bounded
+    "chk05_distribution_drift",    # fixed histogram-bucket snapshot frames
+    "dd13_semantic_dedup",         # k=ceil(sqrt(N)) coarse codebook
+    "pr04_winsorize",              # global percentile-bounds frame
+    "sim02_ann_lsh_bucketed",      # capped query block (MAX_QUERY_BLOCK)
+    "sim04_ann_ivf",               # corpus-adaptive k=ceil(sqrt(N)) centroids
+    "sim05_kmeans_assign",         # fixed-k codebook per round
+    "sim06_pq_adc",                # 256-entry-per-subspace PQ codebook
+    "sim07_ann_ivfpq",             # IVF centroids + PQ codebook (both bounded)
+    "sim08_ann_ivfpq_rerank",      # same + capped rerank candidate set
+    "sim11_hard_negatives",        # sim04's centroid set + capped query block
+    "smp06_temperature_resample",  # per-source weight table, |sources|-bounded
+    "smp09_mixture_epoch_plan",    # per-source epoch plan, |sources|-bounded
+    "tx10_tfidf_topterms",         # vocabulary-bounded doc-frequency table
+    "tx15_token_pmi",              # vocabulary-bounded unigram LM
+    "tx16_bigram_logprob",         # vocab^2-bounded (961-entry) bigram LM
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_forced_fact_broadcast(name, spark, sf_dir):
+    """No hard F.broadcast on an SF-proportional build side, anywhere.
+
+    With the auto-broadcast threshold disabled, the only broadcast
+    exchanges left in a plan are FORCED by a hard hint (the size-aware
+    io.broadcast_or_shuffle_hash helper honors the disabled threshold
+    and emits none) — so any BroadcastExchange scanning a fact table
+    without reducing through a one-row aggregate is a hint that AQE
+    could never demote: a guaranteed OOM at the 100 TB design point.
+    """
+    if name in FORCED_BROADCAST_ALLOWED:
+        return  # bounded-by-construction build, documented above
+    conf = spark.conf
+    old_thr = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        offenders = forced_fact_broadcasts(QUERIES[name].fn(spark, sf_dir))
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert not offenders, f"{name}: {offenders}"
+
+
+def test_forced_broadcast_allowlist_entries_still_registered():
+    assert FORCED_BROADCAST_ALLOWED <= set(QUERIES), (
+        FORCED_BROADCAST_ALLOWED - set(QUERIES)
+    )
 
 
 def test_bnlj_allowlist_entries_still_registered():

@@ -57,6 +57,41 @@ def test_broadcast_if_small_is_size_aware(spark, sf_dir):
     assert set(join_kinds(df)) == {"BroadcastHashJoin"}
 
 
+def test_q7_q9_q10_builds_are_size_aware(spark, sf_dir):
+    """The r7 verdict's hazard class, pinned closed: q7/q9/q10's
+    SF-proportional build sides (worst: q9's projection of the ENTIRE
+    orders table) broadcast only while their base relations fit the
+    threshold; with the threshold forced below them every build
+    degrades to a shuffle join instead of a forced broadcast."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    names = [
+        "tpch_q7_volume_shipping",
+        "tpch_q9_product_type_profit",
+        "tpch_q10_returned_items",
+    ]
+    # q7 keeps two hard nation broadcasts, q9/q10 one each — those are
+    # 25-row dimensions and stay broadcast at any SF by design.
+    nation_joins = {names[0]: 2, names[1]: 1, names[2]: 1}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        for name in names:
+            kinds = join_kinds(QUERIES[name].fn(spark, sf_dir))
+            assert kinds.count("BroadcastHashJoin") <= nation_joins[name], (
+                name,
+                kinds,
+            )
+            assert "SortMergeJoin" in kinds or "ShuffledHashJoin" in kinds, (
+                name,
+                kinds,
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    # at test SF with the default threshold, every join still broadcasts
+    for name in names:
+        kinds = join_kinds(QUERIES[name].fn(spark, sf_dir))
+        assert set(kinds) == {"BroadcastHashJoin"}, (name, kinds)
+
+
 def test_staging_filter_pushes_to_scan(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     df = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
