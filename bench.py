@@ -27,6 +27,17 @@ entire stages under count; pipe01's count plan at sf10 had 0 of the
 full plan's 6 joins, timing the scan instead of the funnel), and DuckDB
 executes CREATE TEMP TABLE AS (engine-side materialization, the
 fetchall() Python-tuple tax removed — it dominated big-output oracles).
+
+Known residual asymmetry (declared in the artifact's `methodology`
+key): Spark's noop sink computes and DISCARDS rows while DuckDB's CTAS
+also ALLOCATES AND STORES the result table — on big-output queries the
+baseline pays a storage cost Spark doesn't, a mild pro-Spark bias. It
+is accepted deliberately: every discard-style DuckDB alternative
+measured something else entirely (an aggregate wrapper lets the
+optimizer prune columns/joins — the exact count() bug this methodology
+replaced), and the headline set's outputs are small relative to their
+compute, so the skew is bounded by the result-write share of each
+oracle's runtime.
 """
 
 from __future__ import annotations
@@ -307,6 +318,12 @@ def main() -> None:
                 "duckdb_queries": duck_timings,
                 "spark_oracled_sec": spark_oracled,
                 "ratio_vs_duckdb": ratio,
+                "methodology": (
+                    "spark=noop-format write (compute+discard), "
+                    "duckdb=CREATE TEMP TABLE AS (compute+store); "
+                    "CTAS charges the baseline a result-storage cost "
+                    "the noop sink does not pay on big-output queries"
+                ),
             }
         )
     )

@@ -36,6 +36,10 @@ _MIN_HEAL_BYTES = 1024 * 1024
 # unspillable, so past ~256 MiB/partition the spillable SortMergeJoin is
 # the safer default (see broadcast_or_shuffle_hash)
 SHJ_TASK_BUDGET_BYTES = 256 * 1024 * 1024
+# Skew margin on the uniform-keys per-task estimate (r7 ADVICE): a 4x
+# hot key still fits the unspillable SHJ build; hotter than that and
+# the hint is withheld in favor of spillable SMJ.
+SHJ_SKEW_HEADROOM = 4
 
 
 def parallelize_scan(df: DataFrame, force: bool = False) -> DataFrame:
@@ -207,13 +211,23 @@ def broadcast_or_shuffle_hash(df: DataFrame, *base: DataFrame) -> DataFrame:
     if hinted is not df:  # broadcast hint applied
         return hinted
     spark = df.sparkSession
-    parts = int(str(spark.conf.get("spark.sql.shuffle.partitions", "200")))
+    try:
+        parts = int(str(spark.conf.get("spark.sql.shuffle.partitions", "200")))
+    except (TypeError, ValueError):
+        # 'auto' (or any non-numeric session value) gives no honest
+        # per-task estimate — fall through to spillable SMJ
+        return df
     total = 0
     for rel in base:
         total += int(
             str(rel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
-    if parts > 0 and total / parts > SHJ_TASK_BUDGET_BYTES:
+    # total/parts assumes uniform keys; a skewed build key concentrates
+    # more than its share in one task and the SHJ build cannot spill,
+    # so budget with headroom: only hint SHJ while even a task holding
+    # SHJ_SKEW_HEADROOM x its uniform share stays inside the budget.
+    per_task = total / parts if parts > 0 else float("inf")
+    if per_task * SHJ_SKEW_HEADROOM > SHJ_TASK_BUDGET_BYTES:
         return df  # build side may not fit a task: let SMJ (spillable) run
     return df.hint("shuffle_hash")
 

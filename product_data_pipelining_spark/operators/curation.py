@@ -270,9 +270,15 @@ def pipe02_curation_funnel_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys are md5 (DuckDB-reproducible) with the oracle-compat uncapped
     bucket mode, so the whole funnel value-checks against SQL at every
     probe SF — including sf10, where pipe01's exact pair stage exceeds
-    single-box scratch in both engines. Candidate recall at the
-    near-dup grade the threshold targets is 1-(1-j²)⁴ (≈ 1.0 at
-    j ≥ 0.9); pairs that qualify carry exact Jaccard either way.
+    single-box scratch in both engines. Candidate recall is
+    1-(1-j^r)^b with b=4 bands of r=2 rows: ≈ 1.0 at j >= 0.9, but
+    only ≈ 0.68 AT the enforced ``JACCARD_THRESHOLD`` = 0.5 itself —
+    borderline duplicates right at the bar can be missed, which is
+    the LSH trade pipe01's exact stage does not make (the fixtures'
+    dups sit at j >= 0.9, which is why the two modes pin frame-equal
+    there; that equality is fixture-scoped, not a general claim).
+    Pairs that do qualify carry exact Jaccard either way; tighten
+    bands/rows if the corpus needs recall at j ≈ 0.5.
     """
     return curation_funnel(
         spark,
@@ -301,9 +307,11 @@ def curation_funnel(
     ``pair_stage``: ``"exact"`` (oracle-compat, dd02's shingle
     self-join — quadratic within shared-shingle groups) or ``"lsh"``
     (dd04's banded MinHash-LSH generator with the ``LSH_MAX_BUCKET``
-    hot-bucket cap — the 100 TB path; candidate recall 1-(1-j²)⁴ ≈ 1.0
-    at the j ≥ 0.9 near-dup grade the threshold targets, and the two
-    modes are pinned frame-equal on the gate fixtures).
+    hot-bucket cap — the 100 TB path; candidate recall 1-(1-j^2)^4:
+    ≈ 1.0 at j >= 0.9 where the fixtures' duplicates sit — hence the
+    frame-equality pin on the gate fixtures — but ≈ 0.68 at the 0.5
+    threshold boundary itself; the pin is fixture-scoped evidence,
+    not general exact-vs-LSH frame equality).
 
     Plan shape: one scan of documents feeds the width/shingle
     projections; the pair stage is the only corpus-scale shuffle (a

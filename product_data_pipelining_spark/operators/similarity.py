@@ -35,6 +35,20 @@ MAX_QUERY_BLOCK = 65536
 # Last sim01 query-block broadcast per SparkContext (keyed by id()):
 # lets each invocation release the previous run's executor copies.
 _LIVE_QUERY_BLOCK: dict = {}
+# Sibling registry for PERSISTED DataFrames (sim09's assignment, dd13's):
+# a returned lazy frame must outlive its builder, so each new invocation
+# unpersists the previous run's cached copy instead — repeated bench
+# passes hold exactly ONE live cached frame per (context, tag).
+_LIVE_PERSISTED: dict = {}
+
+
+def swap_live_persisted(key, df):
+    """Persist ``df`` and release the previous frame cached under ``key``."""
+    prev = _LIVE_PERSISTED.pop(key, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    _LIVE_PERSISTED[key] = df.persist()
+    return df
 NEARDUP_COSINE = 0.4
 LSH_BITS = 4  # sign bits of the first 4 dims form the bucket
 CENT_STRIDE = 83  # vec_id % 83 == 7 rows act as IVF seed centroids
@@ -985,11 +999,12 @@ def sim09_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    ranked = (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(assign, "vec_id long, cell long, crank int")
-        .persist()  # consumed by cells AND probes below
-    )
+    ranked = swap_live_persisted(
+        (id(spark.sparkContext), "sim09_ranked"),
+        emb.select("vec_id", "embedding").mapInPandas(
+            assign, "vec_id long, cell long, crank int"
+        ),
+    )  # consumed by cells AND probes below; lifecycle-tracked (r7 ADVICE)
     v = emb.select("vec_id", "embedding")
     cells = (
         ranked.filter(F.col("crank") == 1).select("vec_id", "cell").join(v, "vec_id")

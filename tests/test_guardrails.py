@@ -45,7 +45,6 @@ BNLJ_ALLOWED = {
     "sim04_ann_ivf",                   # fixed centroid-set replication
     "sim07_ann_ivfpq",                 # fixed centroid-set replication (IVF coarse stage)
     "sim08_ann_ivfpq_rerank",          # same coarse stage + bounded candidate broadcast
-    "dd13_semantic_dedup",             # fixed centroid-set replication (coarse quantizer)
     "sim09_knn_graph",                 # fixed centroid-set replication (coarse quantizer)
     "sim11_hard_negatives",            # fixed centroid-set replication (sim04's coarse stage)
     "tx13_unigram_logprob",            # one-row corpus-total replication
@@ -73,6 +72,7 @@ ARROW_ALLOWED = {
     "sim01_ann_bruteforce_topk",  # partition-local numpy top-k (mapInPandas)
     "sim02x_ann_lsh_bucketed_np",  # Arrow/numpy scoring twin of sim02
     "sim09_knn_graph",  # codebook-GEMM assignment + cogrouped cell GEMM
+    "dd13_semantic_dedup",  # codebook-GEMM assignment + grouped cell GEMM (r8)
     "sim10_mmr_diverse_topk",  # GEMM candidate gen + greedy MMR re-rank
 }
 
@@ -116,7 +116,6 @@ FORCED_BROADCAST_ALLOWED = {
     "chk02_outlier_zscore",        # 3-row moment frame re-scan
     "chk03_outlier_robust_mad",    # per-group median/MAD, |groups|-bounded
     "chk05_distribution_drift",    # fixed histogram-bucket snapshot frames
-    "dd13_semantic_dedup",         # k=ceil(sqrt(N)) coarse codebook
     "pr04_winsorize",              # global percentile-bounds frame
     "sim02_ann_lsh_bucketed",      # capped query block (MAX_QUERY_BLOCK)
     "sim04_ann_ivf",               # corpus-adaptive k=ceil(sqrt(N)) centroids
