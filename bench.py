@@ -171,6 +171,13 @@ HEADLINE = [
     # Python-mirror tested): bounded-broadcast GEMM candidates + 40-row
     # applyInPandas groups — re-rank cost is corpus-size-independent
     "sim10_mmr_diverse_topk",
+    # r8 additions (r7 verdict ask #6 — both were oracled at 3 SFs but
+    # absent from the at-scale artifacts): hard-negative mining rides
+    # sim04's IVF machinery with a label filter that prunes before the
+    # per-query top-k window; the bigram-LM quality score is a
+    # vocab^2-bounded broadcast model over one corpus scan
+    "sim11_hard_negatives",
+    "tx16_bigram_logprob",
 ]
 
 # SPARK_GRAFT_ONLY="q1,q2" restricts the headline set — the unit the

@@ -417,21 +417,44 @@ def a03_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: multi-key GROUP BY + five-number summary with EXACT percentiles.
 
     Reference: ``models/marts/mart_price_by_category.sql:1-16`` —
-    ``PERCENTILE_CONT(0.25/0.5/0.75) WITHIN GROUP``. Uses Spark's exact
-    interpolated ``percentile`` (never ``percentile_approx``) to match
-    DuckDB's ``quantile_cont`` (SURVEY §2.9 hardest parity point).
+    ``PERCENTILE_CONT(0.25/0.5/0.75) WITHIN GROUP``. Exact, never
+    ``percentile_approx`` (SURVEY §2.9 hardest parity point).
+
+    Shape (r8 rework): rank-based — ONE window sort per group key
+    (row_number + group count over the same exchange, both spillable
+    sort machinery) and conditional aggregates pick the two straddling
+    values per fraction; the interpolation replicates Spark's
+    ``Percentile.getPercentile`` arithmetic bit-for-bit
+    (``lower*(higher-pos) + higher*(pos-lower)``, the ``lower==higher``
+    short-circuit first), which is what DuckDB's ``quantile_cont``
+    agrees with on this data. The previous ``F.percentile(col,
+    array(...))`` aggregate built a per-group OpenHashMap value buffer
+    (ObjectHashAggregate: heavy partial-buffer serialization through
+    the shuffle, and the fused countDistinct's one-distinct rewrite
+    multiplied buffer merges) — measured 3.49 s -> 1.63 s at sf1,
+    frames equal. At 100 TB the window shape is the classic warehouse
+    plan: one spill-capable sort per partition, no per-group maps.
     """
     li = _t(spark, sf_dir, "lineitem")
-    # One percentile aggregate over an array of fractions: a single
-    # value buffer and a single per-group sort instead of three (the
-    # three-agg form re-buffered and re-sorted l_extendedprice once per
-    # fraction — measured 2.0s -> ~1.2s at sf1 for the whole query).
-    agged = li.groupBy(
+    keys = [
         F.col("l_returnflag").alias("returnflag"),
         F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias(
             "ship_date"
         ),
-    ).agg(
+    ]
+    base = li.select(
+        *keys, "l_extendedprice", "l_discount", "l_partkey"
+    )
+    w = Window.partitionBy("returnflag", "ship_date").orderBy(
+        "l_extendedprice"
+    )
+    wg = Window.partitionBy("returnflag", "ship_date")
+    ranked = base.withColumn(
+        "rn", F.row_number().over(w) - F.lit(1)
+    ).withColumn("n", F.count(F.lit(1)).over(wg))
+
+    v = F.col("l_extendedprice")
+    aggs = [
         det_avg("l_extendedprice").alias("avg_price"),
         det_avg(
             F.coalesce(
@@ -442,11 +465,27 @@ def a03_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("product_count"),
         duck_round(F.min("l_extendedprice"), 2).alias("min_price"),
         duck_round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.percentile(
-            "l_extendedprice",
-            F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)),
-        ).alias("_pcts"),
-    )
+        F.max("n").alias("_n"),  # constant within the group
+    ]
+    for tag, q in (("25", 0.25), ("50", 0.50), ("75", 0.75)):
+        pos = (F.col("n") - 1).cast("double") * F.lit(q)
+        lo = F.floor(pos).cast("long")
+        hi = F.ceil(pos).cast("long")
+        aggs.append(F.max(F.when(F.col("rn") == lo, v)).alias(f"_vlo{tag}"))
+        aggs.append(F.max(F.when(F.col("rn") == hi, v)).alias(f"_vhi{tag}"))
+    agged = ranked.groupBy("returnflag", "ship_date").agg(*aggs)
+
+    def interp(tag: str, q: float):
+        pos = (F.col("_n") - 1).cast("double") * F.lit(q)
+        lo = F.floor(pos)
+        hi = F.ceil(pos)
+        vlo = F.col(f"_vlo{tag}")
+        vhi = F.col(f"_vhi{tag}")
+        exact = vlo * (hi.cast("double") - pos) + vhi * (
+            pos - lo.cast("double")
+        )
+        return duck_round(F.when(lo == hi, vlo).otherwise(exact), 2)
+
     return agged.select(
         "returnflag",
         "ship_date",
@@ -455,9 +494,9 @@ def a03_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "product_count",
         "min_price",
         "max_price",
-        duck_round(F.col("_pcts")[0], 2).alias("p25"),
-        duck_round(F.col("_pcts")[1], 2).alias("p50"),
-        duck_round(F.col("_pcts")[2], 2).alias("p75"),
+        interp("25", 0.25).alias("p25"),
+        interp("50", 0.50).alias("p50"),
+        interp("75", 0.75).alias("p75"),
     )
 
 

@@ -1,0 +1,241 @@
+"""Record the evidence behind pipe01's exclusion from the sf10 bench.
+
+pipe01 (the EXACT-pair curation funnel) is excluded from the sf10
+timing/correctness legs with the claim "its ~2B-distinct-pair exact
+stage exceeds single-box scratch in BOTH engines". Until round 8 that
+claim was prose in session notes; this probe turns it into a recorded
+artifact: it runs pipe01 at a probe SF in each engine under a DISK
+BUDGET watchdog, and writes ``PIPE01_SF10_EXCLUSION.json`` with, per
+engine, either the completion time or the scratch bytes at the moment
+the budget killed it (a failed-with-numbers probe log, per the r7
+verdict's ask #7).
+
+Run STRICTLY SERIALIZED with all other Spark/DuckDB work:
+
+    python scripts/pipe01_exclusion_probe.py --dir /tmp/sf10 \
+        --budget-gb 40 --timeout-sec 1500
+
+Each leg runs in a CHILD process (``--leg spark`` / ``--leg duck``) so
+a kill cannot take the parent (or a later leg) down, and the parent
+never hosts a JVM.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import threading
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+GB = 1024**3
+
+
+def _du_bytes(paths: list[str]) -> int:
+    total = 0
+    for root in paths:
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirnames, filenames in os.walk(root, onerror=lambda e: None):
+            for fn in filenames:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+                except OSError:
+                    pass
+    return total
+
+
+def _watch(paths, budget_bytes, state, on_kill, interval=5.0):
+    peak = 0
+    while not state["done"]:
+        used = _du_bytes(paths)
+        peak = max(peak, used)
+        state["peak_scratch_bytes"] = peak
+        if used > budget_bytes:
+            state["killed"] = True
+            on_kill()
+            return
+        time.sleep(interval)
+
+
+def spark_leg(sf_dir: str, budget_bytes: int, timeout_sec: int) -> None:
+    scratch = tempfile.mkdtemp(prefix="pipe01probe-spark-")
+    os.environ["SPARK_LOCAL_DIRS"] = scratch
+    from product_data_pipelining_spark.registry import all_queries
+    from product_data_pipelining_spark.session import get_spark
+
+    spark = get_spark(app_name="pipe01-exclusion-probe", cpus=32)
+    df = all_queries()["pipe01_curation_funnel"].fn(spark, sf_dir)
+    state = {"done": False, "killed": False, "peak_scratch_bytes": 0}
+
+    def kill():
+        spark.sparkContext.cancelAllJobs()
+
+    w = threading.Thread(
+        target=_watch, args=([scratch], budget_bytes, state, kill), daemon=True
+    )
+    t0 = time.perf_counter()
+    w.start()
+    outcome: dict = {}
+    try:
+        err: list = []
+
+        def run():
+            try:
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # cancelled or failed
+                err.append(repr(exc)[:300])
+
+        job = threading.Thread(target=run, daemon=True)
+        job.start()
+        job.join(timeout=timeout_sec)
+        elapsed = round(time.perf_counter() - t0, 1)
+        if job.is_alive():
+            state["killed"] = True
+            kill()
+            job.join(timeout=60)
+            outcome = {"outcome": "killed_timeout"}
+        elif state["killed"]:
+            outcome = {"outcome": "killed_disk_budget"}
+        elif err:
+            outcome = {"outcome": "failed", "error": err[0]}
+        else:
+            outcome = {"outcome": "completed"}
+        outcome["elapsed_sec"] = elapsed
+    finally:
+        state["done"] = True
+        outcome["peak_scratch_bytes"] = state["peak_scratch_bytes"]
+        print("LEGRESULT " + json.dumps(outcome), flush=True)
+        spark.stop()
+
+
+def duck_leg(sf_dir: str, budget_bytes: int, timeout_sec: int) -> None:
+    import duckdb
+
+    from product_data_pipelining_spark.registry import all_queries
+
+    spec = all_queries()["pipe01_curation_funnel"]
+    stmts = list(spec.oracle_stage) if spec.oracle_stage else [spec.oracle]
+    scratch = tempfile.mkdtemp(prefix="pipe01probe-duck-")
+    con = duckdb.connect()
+    con.execute(f"SET temp_directory='{scratch}'")
+    con.execute("SET memory_limit='24GB'")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{glob}'")
+    state = {"done": False, "killed": False, "peak_scratch_bytes": 0}
+    w = threading.Thread(
+        target=_watch,
+        args=([scratch], budget_bytes, state, con.interrupt),
+        daemon=True,
+    )
+    t0 = time.perf_counter()
+    w.start()
+    outcome: dict = {}
+    err: list = []
+
+    def run():
+        try:
+            for stmt in stmts[:-1]:
+                con.execute(stmt)
+            con.execute(
+                f"CREATE OR REPLACE TEMP TABLE __probe_out AS {stmts[-1]}"
+            )
+        except Exception as exc:
+            err.append(repr(exc)[:300])
+
+    job = threading.Thread(target=run, daemon=True)
+    job.start()
+    job.join(timeout=timeout_sec)
+    elapsed = round(time.perf_counter() - t0, 1)
+    if job.is_alive():
+        state["killed"] = True
+        con.interrupt()
+        job.join(timeout=60)
+        outcome = {"outcome": "killed_timeout"}
+    elif state["killed"]:
+        outcome = {"outcome": "killed_disk_budget"}
+    elif err:
+        outcome = {"outcome": "failed", "error": err[0]}
+    else:
+        outcome = {"outcome": "completed"}
+    state["done"] = True
+    outcome["elapsed_sec"] = elapsed
+    outcome["peak_scratch_bytes"] = state["peak_scratch_bytes"]
+    print("LEGRESULT " + json.dumps(outcome), flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/sf10")
+    ap.add_argument("--budget-gb", type=float, default=40.0)
+    ap.add_argument("--timeout-sec", type=int, default=1500)
+    ap.add_argument("--leg", choices=["spark", "duck"], default=None)
+    args = ap.parse_args()
+    budget = int(args.budget_gb * GB)
+
+    if args.leg == "spark":
+        spark_leg(args.dir, budget, args.timeout_sec)
+        return
+    if args.leg == "duck":
+        duck_leg(args.dir, budget, args.timeout_sec)
+        return
+
+    results = {}
+    for leg in ("spark", "duck"):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--dir", args.dir,
+             "--budget-gb", str(args.budget_gb),
+             "--timeout-sec", str(args.timeout_sec), "--leg", leg],
+            capture_output=True, text=True,
+            timeout=args.timeout_sec + 600,
+        )
+        rec = None
+        for line in (proc.stdout or "").splitlines():
+            if line.startswith("LEGRESULT "):
+                rec = json.loads(line[len("LEGRESULT "):])
+        if rec is None:
+            rec = {
+                "outcome": f"child_died_rc={proc.returncode}",
+                "stderr_tail": (proc.stderr or "")[-500:],
+            }
+        rec["peak_scratch_gb"] = round(
+            rec.get("peak_scratch_bytes", 0) / GB, 2
+        )
+        results[leg] = rec
+    artifact = {
+        "metric": "pipe01_sf10_exclusion_probe",
+        "sf_dir": args.dir,
+        "disk_budget_gb": args.budget_gb,
+        "timeout_sec": args.timeout_sec,
+        "query": "pipe01_curation_funnel (exact pair stage)",
+        "legs": results,
+        "claim": (
+            "pipe01's exact shingle-pair stage is excluded from the sf10 "
+            "bench/correctness legs because its pair exchange exceeds a "
+            "single box's scratch in both engines; this artifact records "
+            "the measured evidence (outcome + peak scratch at kill) "
+            "instead of prose. pipe02 (banded LSH) is the benchmarked "
+            "production funnel; pipe01 stays value-verified at sf<=1 "
+            "via the driver gate, local sweeps, and the sf1 probe."
+        ),
+    }
+    out = REPO / "PIPE01_SF10_EXCLUSION.json"
+    out.write_text(json.dumps(artifact, indent=2) + "\n")
+    print(json.dumps({"artifact": out.name, **{
+        k: v["outcome"] for k, v in results.items()}}))
+
+
+if __name__ == "__main__":
+    main()
