@@ -1183,6 +1183,7 @@ def dd13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_nrm = np.sqrt(
             np.sum(Cm.astype(np.longdouble) ** 2, axis=1)
         ).astype(np.float64)
+        c_nrm = np.where(c_nrm == 0.0, 1.0, c_nrm)  # zero-norm guard
         Cn = np.ascontiguousarray((Cm / c_nrm[:, None]).T)  # (dim, k)
         kk = len(cid)
         pow2 = 1
@@ -1197,6 +1198,10 @@ def dd13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             x_nrm = np.sqrt(
                 np.sum(X.astype(np.longdouble) ** 2, axis=1)
             ).astype(np.float64)
+            # zero-norm guard: an all-zero embedding would make X/x_nrm
+            # NaN and the later NaN->int64 cast is platform-undefined;
+            # dividing by 1 keeps the row all-zero (sim 0 to everything)
+            x_nrm = np.where(x_nrm == 0.0, 1.0, x_nrm)
             sims = (X / x_nrm[:, None]) @ Cn
             # duck_round to the 1e-6 grid (the oracle's 6 dp
             # assignment): in-place half-away passes + longdouble
@@ -1271,6 +1276,7 @@ def dd13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         nrm = np.sqrt(
             np.sum(X.astype(np.longdouble) ** 2, axis=1)
         ).astype(np.float64)
+        nrm = np.where(nrm == 0.0, 1.0, nrm)  # zero-norm guard (see assign)
         Xn = X / nrm[:, None]
         sims = Xn @ Xn.T
         g = np.abs(sims)

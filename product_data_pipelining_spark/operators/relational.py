@@ -445,13 +445,19 @@ def a03_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = li.select(
         *keys, "l_extendedprice", "l_discount", "l_partkey"
     )
+    # NULL parity with F.percentile / DuckDB quantile_cont (which ignore
+    # NULLs): order NULL prices LAST and count only non-null values, so
+    # null rows take rn >= n and can never match a percentile position
+    # (pos <= n-1), while still flowing into the NULL-tolerant aggregates
+    # (countDistinct l_partkey) below. An all-NULL group gets n=0 and
+    # NULL percentiles — DuckDB agrees.
     w = Window.partitionBy("returnflag", "ship_date").orderBy(
-        "l_extendedprice"
+        F.col("l_extendedprice").asc_nulls_last()
     )
     wg = Window.partitionBy("returnflag", "ship_date")
     ranked = base.withColumn(
         "rn", F.row_number().over(w) - F.lit(1)
-    ).withColumn("n", F.count(F.lit(1)).over(wg))
+    ).withColumn("n", F.count("l_extendedprice").over(wg))
 
     v = F.col("l_extendedprice")
     aggs = [

@@ -96,6 +96,10 @@ def spark_leg(sf_dir: str, budget_bytes: int, timeout_sec: int) -> None:
         job = threading.Thread(target=run, daemon=True)
         job.start()
         job.join(timeout=timeout_sec)
+        # stop the watchdog BEFORE reading its flags: a disk check landing
+        # between query completion and the flag read would mislabel a
+        # completed leg as killed_disk_budget
+        state["done"] = True
         elapsed = round(time.perf_counter() - t0, 1)
         if job.is_alive():
             state["killed"] = True
@@ -158,6 +162,9 @@ def duck_leg(sf_dir: str, budget_bytes: int, timeout_sec: int) -> None:
     job = threading.Thread(target=run, daemon=True)
     job.start()
     job.join(timeout=timeout_sec)
+    # stop the watchdog BEFORE reading its flags (same race as spark_leg:
+    # a post-completion disk check must not flip killed_disk_budget)
+    state["done"] = True
     elapsed = round(time.perf_counter() - t0, 1)
     if job.is_alive():
         state["killed"] = True
@@ -170,7 +177,6 @@ def duck_leg(sf_dir: str, budget_bytes: int, timeout_sec: int) -> None:
         outcome = {"outcome": "failed", "error": err[0]}
     else:
         outcome = {"outcome": "completed"}
-    state["done"] = True
     outcome["elapsed_sec"] = elapsed
     outcome["peak_scratch_bytes"] = state["peak_scratch_bytes"]
     print("LEGRESULT " + json.dumps(outcome), flush=True)
@@ -194,21 +200,36 @@ def main() -> None:
 
     results = {}
     for leg in ("spark", "duck"):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--dir", args.dir,
-             "--budget-gb", str(args.budget_gb),
-             "--timeout-sec", str(args.timeout_sec), "--leg", leg],
-            capture_output=True, text=True,
-            timeout=args.timeout_sec + 600,
-        )
+        stdout, stderr, rc, parent_timed_out = "", "", None, False
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--dir", args.dir,
+                 "--budget-gb", str(args.budget_gb),
+                 "--timeout-sec", str(args.timeout_sec), "--leg", leg],
+                capture_output=True, text=True,
+                timeout=args.timeout_sec + 600,
+            )
+            stdout, stderr, rc = proc.stdout or "", proc.stderr or "", proc.returncode
+        except subprocess.TimeoutExpired as exc:
+            # a hung child must not take the parent (and the artifact)
+            # down — record parent_timeout with whatever was captured
+            parent_timed_out = True
+
+            def _txt(v):
+                if isinstance(v, bytes):
+                    return v.decode("utf-8", "replace")
+                return v or ""
+
+            stdout, stderr = _txt(exc.stdout), _txt(exc.stderr)
         rec = None
-        for line in (proc.stdout or "").splitlines():
+        for line in stdout.splitlines():
             if line.startswith("LEGRESULT "):
                 rec = json.loads(line[len("LEGRESULT "):])
         if rec is None:
             rec = {
-                "outcome": f"child_died_rc={proc.returncode}",
-                "stderr_tail": (proc.stderr or "")[-500:],
+                "outcome": "parent_timeout" if parent_timed_out
+                else f"child_died_rc={rc}",
+                "stderr_tail": stderr[-500:],
             }
         rec["peak_scratch_gb"] = round(
             rec.get("peak_scratch_bytes", 0) / GB, 2

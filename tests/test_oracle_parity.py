@@ -89,6 +89,54 @@ def test_oracle_parity(name, spark, par_ddb, par_sf_dir):
         )
 
 
+def test_a03_null_price_parity(spark, tmp_path_factory):
+    """a03's rank-based percentiles must IGNORE NULL ``l_extendedprice``
+    (parity with ``F.percentile`` / DuckDB ``quantile_cont``).
+
+    The fixture tables carry no NULL prices, so the standard sweep
+    can't see the round-8-ADVICE divergence (NULLs sorting first in an
+    ascending row_number window would shift every rank); this test
+    injects NULLs into a copy of lineitem and compares both engines on
+    it — including one all-NULL group (flag 'R' late dates pattern not
+    guaranteed, so the per-row modulus gives mixed + non-trivial
+    groups).
+    """
+    src = SF_DIRS[0]
+    tmp = str(tmp_path_factory.mktemp("a03nulls"))
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN l_orderkey % 5 = 0 THEN NULL
+                 ELSE l_extendedprice END AS l_extendedprice)
+          FROM '{src}/lineitem.parquet'
+        ) TO '{tmp}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{tmp}/lineitem.parquet'"
+    )
+    n_null = con.execute(
+        "SELECT COUNT(*) FROM lineitem WHERE l_extendedprice IS NULL"
+    ).fetchone()[0]
+    assert n_null > 0, "injection produced no NULL prices — test is inert"
+    spec = QUERIES["a03_percentile_summary"]
+    got = normalize(spec.fn(spark, tmp).toPandas())
+    want = normalize(con.execute(spec.oracle).df())
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    mism = (got != want).any(axis=1)
+    assert not mism.any(), (
+        f"a03 NULL parity: {int(mism.sum())}/{len(got)} rows mismatch:\n"
+        + "\n".join(
+            f"  spark={got.loc[i].to_dict()}\n  duck ={want.loc[i].to_dict()}"
+            for i in mism[mism].index[:5]
+        )
+    )
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_CASES)
 def test_rows_only_queries_run(name, spark, par_sf_dir):
     spec = QUERIES[name]
