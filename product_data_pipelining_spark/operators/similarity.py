@@ -1622,106 +1622,325 @@ def sim07_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gemm_cell_ranked(
+    spark: SparkSession, sf_dir: str, nprobe: int, tag: str
+) -> DataFrame:
+    """(vec_id, cell, crank<=nprobe) via one corpus-scan GEMM kernel.
+
+    sim09's assignment stage generalized for the IVF compositions
+    (sim07/sim08/sim11): the bounded centroid block (k = ceil(sqrt(N)),
+    never corpus-proportional) broadcasts once; each Arrow batch runs
+    ONE float64-BLAS matmul against it and emits only narrow
+    (vec_id, cell, crank) rows — the |corpus| x |centroids| similarity
+    matrix never exists outside a task. Grid parity with the SQL
+    oracle's ROUND(cosine, 6): half-away-from-zero to the 1e-6 grid
+    with longdouble refinement for boundary-straddling entries
+    (sim01's verified technique); ranking is (sim DESC, cent_id ASC)
+    exactly like the oracle's row_number. The JVM HOF crossJoin this
+    replaces evaluated interpreted per-element arithmetic per
+    (vec, centroid) pair — measured ~5x slower at sf1 and the top
+    contributor to sim07/sim11's 2-3.5x-vs-DuckDB gap (round-8
+    verdict); the kernel matches sim09's 0.08x-at-sf10 shape.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = centroid_budget(corpus_size(spark, sf_dir))
+    cent_rows = (
+        emb.filter(
+            (F.col("vec_id") % CENT_STRIDE == 7)
+            & (F.col("vec_id") < CENT_STRIDE * k)
+        )
+        .select("vec_id", "embedding")
+        .collect()  # bounded by the sqrt-N budget (codebook, never corpus)
+    )
+    cent_rows.sort(key=lambda r: r.vec_id)
+    bkey = (id(spark.sparkContext), tag)
+    prev = _LIVE_QUERY_BLOCK.pop(bkey, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    c_block = spark.sparkContext.broadcast(
+        (
+            [int(r.vec_id) for r in cent_rows],
+            [list(map(float, r.embedding)) for r in cent_rows],
+        )
+    )
+    _LIVE_QUERY_BLOCK[bkey] = c_block
+
+    def assign(batches):
+        # nested closure: pickled by value, workers don't need the repo
+        import numpy as np
+        import pandas as pd
+
+        c_ids, c_mat = c_block.value
+        Cm = np.array(c_mat, dtype=np.float64)
+        cid = np.array(c_ids, dtype=np.int64)
+        c_nrm = np.sqrt(
+            np.sum(Cm.astype(np.longdouble) ** 2, axis=1)
+        ).astype(np.float64)
+        Cn = np.ascontiguousarray((Cm / c_nrm[:, None]).T)  # (dim, k)
+        kk = len(cid)
+        pow2 = 1
+        while pow2 < max(kk, 2):
+            pow2 <<= 1
+        idx_arr = np.arange(kk, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            x_nrm = np.sqrt(
+                np.sum(X.astype(np.longdouble) ** 2, axis=1)
+            ).astype(np.float64)
+            sims = (X / x_nrm[:, None]) @ Cn
+            a = np.abs(sims)
+            a *= 1e6
+            a += 0.5
+            b = np.rint(a)
+            np.subtract(b, a, out=b)
+            np.abs(b, out=b)
+            near = b < 1e-6
+            if near.any():
+                Xl = X.astype(np.longdouble)
+                Cl = Cm.astype(np.longdouble)
+                for i, j in zip(*np.nonzero(near)):
+                    sims[i, j] = np.float64(
+                        np.dot(Xl[i], Cl[j])
+                        / np.longdouble(x_nrm[i] * c_nrm[j])
+                    )
+                av = np.abs(sims[near])
+                av *= 1e6
+                av += 0.5
+                a[near] = av
+            np.floor(a, out=a)
+            s6 = (a * np.sign(sims)).astype(np.int64)
+            keym = (np.int64(1_000_000) - s6) * pow2 + idx_arr
+            p = min(nprobe, kk)
+            part = np.argpartition(keym, p - 1, axis=1)[:, :p]
+            rowsrt = np.take_along_axis(keym, part, axis=1).argsort(
+                axis=1, kind="stable"
+            )
+            top = np.take_along_axis(part, rowsrt, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vid, p),
+                    "cell": cid[top].ravel(),
+                    "crank": np.tile(
+                        np.arange(1, p + 1, dtype=np.int32), len(vid)
+                    ),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cell long, crank int"
+    )
+
+
+def _gemm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, codes array<int>, lut array<long>|null) in one scan.
+
+    PQ encode as a corpus-scan kernel: the <=PQ_K seed codebook
+    broadcasts; per Arrow batch, subspace L2 grids are computed with
+    BIT-EXACT parity to the JVM/SQL form — the sequential
+    ``((0+d0²)+d1²)+...`` fold is replayed literally (PQ_SUB=4 scalar
+    passes per subspace, vectorized across rows), norms use the same
+    sequential ``acc + v*v`` fold, and ``_scaled_long`` is
+    ``floor(l2*1e6 + 0.5)`` on non-negative L2 — so ``d6`` is the
+    identical BIGINT both engines derive and codes/ADC sums stay
+    integer-exact with no rounding-boundary refinement needed.
+    Replaces the posexplode self-join that materialized
+    |corpus| x PQ_M x PQ_K interpreted-HOF rows (205M at sf10 — the
+    dominant sim07 cost); here that grid lives only inside a task's
+    numpy arrays, and the output is |corpus| narrow code rows. Query
+    rows (the bounded LUT block) additionally carry their flattened
+    PQ_M x PQ_K distance table for the ADC stage.
+    """
+    v = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        v.filter(
+            (F.col("vec_id") % PQ_STRIDE == 3)
+            & (F.col("vec_id") < PQ_STRIDE * PQ_K)
+        )
+        .select("vec_id", "embedding")
+        .collect()  # <= PQ_K rows: codebook, never corpus
+    )
+    seed_rows.sort(key=lambda r: (int(r.vec_id) - 3) // PQ_STRIDE)
+    bkey = (id(spark.sparkContext), "sim07pq")
+    prev = _LIVE_QUERY_BLOCK.pop(bkey, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    s_block = spark.sparkContext.broadcast(
+        [list(map(float, r.embedding)) for r in seed_rows]
+    )
+    _LIVE_QUERY_BLOCK[bkey] = s_block
+    pq_m, pq_k, pq_sub = PQ_M, PQ_K, PQ_SUB
+    q_stride, q_max = QUERY_STRIDE, PQ_MAX_QUERIES
+
+    def encode(batches):
+        # nested closure: pickled by value, workers don't need the repo
+        import numpy as np
+        import pandas as pd
+
+        S = np.array(s_block.value, dtype=np.float64)  # (K, dim), code order
+        dim = S.shape[1]
+        acc = np.zeros(len(S), dtype=np.float64)
+        for t in range(dim):  # sequential fold: parity with norm()'s HOF
+            acc += S[:, t] * S[:, t]
+        Sn = S / np.sqrt(acc)[:, None]
+        kidx = np.arange(pq_k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            n = len(X)
+            acc = np.zeros(n, dtype=np.float64)
+            for t in range(dim):
+                acc += X[:, t] * X[:, t]
+            Xn = X / np.sqrt(acc)[:, None]
+            codes = np.empty((n, pq_m), dtype=np.int32)
+            d6all = np.empty((n, pq_m, pq_k), dtype=np.int64)
+            for m in range(pq_m):
+                Xm = Xn[:, m * pq_sub:(m + 1) * pq_sub]
+                Cm = Sn[:, m * pq_sub:(m + 1) * pq_sub]
+                l2 = np.zeros((n, pq_k), dtype=np.float64)
+                for t in range(pq_sub):  # literal zip_with fold replay
+                    d = Xm[:, t, None] - Cm[None, :, t]
+                    l2 += d * d
+                d6 = np.floor(l2 * 1e6 + 0.5).astype(np.int64)
+                d6all[:, m, :] = d6
+                codes[:, m] = np.argmin(d6 * pq_k + kidx[None, :], axis=1)
+            isq = (vid % q_stride == 0) & (vid < q_stride * q_max)
+            luts = [
+                d6all[i].ravel().tolist() if isq[i] else None
+                for i in range(n)
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": vid,
+                    "codes": list(codes.tolist()),
+                    "lut": luts,
+                }
+            )
+
+    return v.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, codes array<int>, lut array<long>"
+    )
+
+
 def _ivfpq_scored(
-    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE,
+    per_query_cap: int = TOP_K,
 ) -> DataFrame:
     """ADC-scored IVF-PQ candidates: (query_id, neighbor_id, cell, s6).
 
-    The shared engine behind sim07 (ADC ranking) and sim08 (exact
-    re-rank): coarse cells bound the candidate set, PQ codes bound the
-    per-candidate cost; every stage is an equi-join or hash aggregate.
+    The shared engine behind sim07 (ADC ranking, cap=TOP_K) and sim08
+    (exact re-rank, cap=RERANK_R): coarse cells bound the candidate
+    set, PQ codes bound the per-candidate cost. Round-9 shape — three
+    kernel stages instead of HOF crossJoins (the round-8 verdict's
+    sim09-pattern ask):
+
+    1. ``_gemm_cell_ranked`` assigns cells / ranks probes in one
+       corpus-scan BLAS matmul (narrow rows out, 1e-6 grid parity).
+    2. ``_gemm_pq_codes`` encodes PQ codes + query LUTs in one
+       corpus-scan with a bit-exact integer-grid replay of the
+       sequential L2 fold.
+    3. A cogrouped per-cell ADC kernel: members' code matrix gathers
+       against each probing query's LUT (pure int64 sums — exact),
+       and each (query, cell) emits only its LOCAL top
+       ``per_query_cap`` rows by (s6 ASC, neighbor_id ASC), so the
+       global window merges |queries| x nprobe x cap narrow rows, never
+       the full candidate set. Correct because the global top-cap is
+       contained in the union of per-cell top-caps (same argument as
+       sim09's local top-k). At 100 TB: codes and cells are
+       precomputed once, stored partitioned-by-cell, and the per-cell
+       Python stage is bounded by occupancy x queries-in-cell.
+
     ``nprobe`` widens the probed-cell set per query — candidate count
     (and so ADC work) grows linearly with it, recall monotonically.
     """
-    v = _with_norm(spark, sf_dir)
-    # ---- coarse cells (sim04's assignment, unchanged semantics)
-    cents = v.filter(centroid_filter(spark, sf_dir)).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
+    ranked = swap_live_persisted(
+        (id(spark.sparkContext), f"sim07_ranked_{nprobe}"),
+        _gemm_cell_ranked(spark, sf_dir, nprobe, f"sim07cent{nprobe}"),
     )
-    asg_sim = duck_round(
-        cosine(F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")),
-        6,
-    )
-    narrow = v.select("vec_id", "embedding", "nrm").crossJoin(
-        F.broadcast(cents)
-    ).select("vec_id", "cent_id", asg_sim.alias("asg_sim"))
-    cell_of = (
-        narrow.groupBy("vec_id")
-        .agg(F.max(F.struct("asg_sim", (-F.col("cent_id")).alias("nc"))).alias("m"))
-        .select("vec_id", (-F.col("m.nc")).alias("cell"))
-    )
+    codes = _gemm_pq_codes(spark, sf_dir)
     bounded_query = (F.col("vec_id") % QUERY_STRIDE == 0) & (
         F.col("vec_id") < QUERY_STRIDE * PQ_MAX_QUERIES
     )
-    wc = Window.partitionBy("vec_id").orderBy(
-        F.desc("asg_sim"), F.asc("cent_id")
-    )
-    probes = (
-        v.filter(bounded_query)
-        .select("vec_id", "embedding", "nrm")
-        .crossJoin(F.broadcast(cents))
-        .select("vec_id", "cent_id", asg_sim.alias("asg_sim"))
-        .withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= nprobe)
-        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
-    )
-    # ---- PQ codes + LUT (sim06's encoder, unchanged semantics)
-    vn = v.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: x.cast("double") / F.col("nrm")
-        ).alias("embedding"),
-    )
-    # codebook: <= PQ_K rows, window-free (see _pq_seeds)
-    seeds = _pq_seeds(vn, "pc")
-    cent_sub = seeds.select(
-        "pc", F.posexplode(_pq_subvectors(F.col("embedding"))).alias("m", "cv")
-    )
-    sub_tbl = vn.select(
-        "vec_id",
-        F.posexplode(_pq_subvectors(F.col("embedding"))).alias("m", "sv"),
-    )
-    l2 = F.aggregate(
-        F.zip_with(_dbl(F.col("sv")), _dbl(F.col("cv")), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, val: acc + val,
-    )
-    dist = sub_tbl.join(F.broadcast(cent_sub), "m").select(
-        "vec_id", "m", "pc", _scaled_long(l2).cast("long").alias("d6")
-    )
-    enc = (
-        dist.groupBy("vec_id", "m")
-        .agg(F.min(F.col("d6") * PQ_K + F.col("pc")).alias("packed"))
+    # members: one cell per corpus vector (crank==1), codes attached
+    members = (
+        ranked.filter(F.col("crank") == 1)
+        .select("vec_id", "cell")
+        .join(codes.select("vec_id", "codes"), "vec_id")
         .select(
-            "vec_id", "m", (F.col("packed") % PQ_K).cast("int").alias("code")
-        )
+            F.col("vec_id").alias("b_vec_id"),
+            F.col("cell").alias("b_cell"),
+            F.col("codes").alias("b_codes"),
+        )  # rename every column: both cogroup sides share lineage
     )
-    # Renamed columns: lut and enc share dist's lineage, so joining on
-    # bare `m`/`pc` would build ambiguous self-join predicates.
-    lut = dist.filter(bounded_query).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("m").alias("qm"),
-        F.col("pc").alias("qpc"),
-        F.col("d6").alias("qd6"),
-    )
-    # ---- compose: probed-cell candidates, ADC-scored
-    cells = cell_of  # (vec_id, cell) for the whole corpus
-    cand = cells.join(
-        F.broadcast(probes),
-        (cells.cell == probes.cell) & (cells.vec_id != probes.query_id),
-    ).select("query_id", F.col("vec_id").alias("neighbor_id"), cells.cell.alias("cell"))
-    scored = (
-        cand.join(enc, cand.neighbor_id == enc.vec_id)
+    # probes: bounded query block, nprobe cells each, LUT attached
+    probes = (
+        ranked.filter(bounded_query)
+        .select(F.col("vec_id").alias("query_id"), "cell")
         .join(
-            F.broadcast(lut),
-            (cand.query_id == lut.query_id)
-            & (enc.m == lut.qm)
-            & (enc.code == lut.qpc),
+            codes.filter(bounded_query).select(
+                F.col("vec_id").alias("query_id"), "lut"
+            ),
+            "query_id",
         )
-        .groupBy(cand.query_id, "neighbor_id", "cell")
-        .agg(F.sum("qd6").alias("s6"))
+    )
+    pq_m, pq_k = PQ_M, PQ_K
+    cap = per_query_cap
+
+    def adc(pl, pr):
+        # cogrouped per-cell ADC: pl = probing queries (with LUTs),
+        # pr = the cell's members (with code rows)
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cell": pd.Series([], dtype="int64"),
+                "s6": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(pl) or not len(pr):
+            return empty
+        Mb = np.array(pr["b_codes"].tolist(), dtype=np.int64)  # (nb, M)
+        nbr = pr["b_vec_id"].to_numpy(dtype=np.int64)
+        cellv = int(pr["b_cell"].iloc[0])
+        marange = np.arange(pq_m)
+        out = {"query_id": [], "neighbor_id": [], "s6": []}
+        for qid, lut in zip(
+            pl["query_id"].to_numpy(dtype=np.int64), pl["lut"]
+        ):
+            lut2 = np.asarray(lut, dtype=np.int64).reshape(pq_m, pq_k)
+            s6 = lut2[marange[None, :], Mb].sum(axis=1)  # exact BIGINT
+            vpos = np.flatnonzero(nbr != qid)  # self-drop BEFORE the cut
+            if not len(vpos):
+                continue
+            order = np.lexsort((nbr[vpos], s6[vpos]))[:cap]
+            idx = vpos[order]
+            out["query_id"].extend([qid] * len(idx))
+            out["neighbor_id"].extend(nbr[idx])
+            out["s6"].extend(s6[idx])
+        res = pd.DataFrame(out)
+        if not len(res):
+            return empty
+        res["cell"] = cellv
+        return res[["query_id", "neighbor_id", "cell", "s6"]]
+
+    # explicit partition count: Python-stage cost is per-KEY, and AQE
+    # would coalesce the few-MB exchange to one worker (cg01's lesson)
+    par = spark.sparkContext.defaultParallelism
+    scored = (
+        probes.repartition(par, "cell")
+        .groupBy("cell")
+        .cogroup(members.repartition(par, "b_cell").groupBy("b_cell"))
+        .applyInPandas(
+            lambda left, right: adc(left, right),
+            "query_id long, neighbor_id long, cell long, s6 long",
+        )
     )
     return scored
 
@@ -1785,7 +2004,9 @@ def sim08_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     executors stream embeddings past it; nothing shuffles on the big
     side.
     """
-    scored = _ivfpq_scored(spark, sf_dir, nprobe=SIM08_NPROBE)
+    scored = _ivfpq_scored(
+        spark, sf_dir, nprobe=SIM08_NPROBE, per_query_cap=RERANK_R
+    )
     wadc = Window.partitionBy("query_id").orderBy(
         F.asc("s6"), F.asc("neighbor_id")
     )
@@ -2137,88 +2358,148 @@ def sim11_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hard ones). Label source: ``documents.lang`` joined on
     ``vec_id == doc_id`` (the fixtures' embeddings are 1:1 with docs).
 
-    Plan shape (sim04's): broadcast codebook, corpus cell assignment
-    as a partial-combinable max-of-struct (never a corpus-wide
-    window), probe-bounded equi-join for candidates; the label joins
-    are narrow (vec_id, lang) equi-joins — the corpus side co-shuffles
-    once, the query side broadcasts. The label filter prunes
-    candidates BEFORE the per-query top-k window, so the window input
-    stays probe-bounded. At 100 TB labels live beside the vectors
-    (partitioned-by-cell layout) and the filter pushes to the scan.
+    Plan shape (round 9 — sim09's kernel pattern, replacing the JVM
+    HOF crossJoins the round-8 verdict flagged at 3.2-3.5x DuckDB):
+    cell assignment and probe ranking come from ``_gemm_cell_ranked``
+    (one corpus-scan BLAS matmul against the broadcast sqrt-N
+    centroid block, narrow rows out); candidate scoring is a
+    cogrouped per-cell GEMM on the 1e-4 grid with longdouble
+    boundary refinement (sim01's verified technique) that applies
+    the cross-label filter INSIDE the kernel and emits each query's
+    LOCAL top-k per cell — the global window merges
+    |queries| x nprobe x k narrow rows, never the probe-bounded
+    candidate matrix. The label joins stay narrow (vec_id, lang)
+    equi-joins. At 100 TB labels live beside the vectors
+    (partitioned-by-cell layout) and the per-cell Python stage is
+    bounded by occupancy x queries-in-cell.
     """
-    v = _with_norm(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
     lab = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "lang"
     )
-    cents = v.filter(centroid_filter(spark, sf_dir)).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
+    ranked = swap_live_persisted(
+        (id(spark.sparkContext), "sim11_ranked"),
+        _gemm_cell_ranked(spark, sf_dir, NPROBE, "sim11cent"),
     )
-    asg_sim = duck_round(
-        cosine(F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")),
-        6,
-    )
-    narrow = v.select("vec_id", "embedding", "nrm").crossJoin(
-        F.broadcast(cents)
-    ).select("vec_id", "cent_id", asg_sim.alias("asg_sim"))
-    cell_of = (
-        narrow.groupBy("vec_id")
-        .agg(F.max(F.struct("asg_sim", (-F.col("cent_id")).alias("nc"))).alias("m"))
-        .select("vec_id", (-F.col("m.nc")).alias("cell"))
-    )
-    cells = (
-        v.join(cell_of, "vec_id")
+    v = emb.select("vec_id", "embedding")
+    members = (
+        ranked.filter(F.col("crank") == 1)
+        .select("vec_id", "cell")
+        .join(v, "vec_id")
         .join(lab, "vec_id")
-        .select("vec_id", "cell", "embedding", "nrm", "lang")
-    )
-    queries = v.filter(F.col("vec_id") % QUERY_STRIDE == 0)
-    q_narrow = queries.select("vec_id", "embedding", "nrm").crossJoin(
-        F.broadcast(cents)
-    ).select("vec_id", "cent_id", asg_sim.alias("asg_sim"))
-    wc = Window.partitionBy("vec_id").orderBy(
-        F.desc("asg_sim"), F.asc("cent_id")
+        .select(
+            F.col("vec_id").alias("b_vec_id"),
+            F.col("cell").alias("b_cell"),
+            F.col("embedding").alias("b_embedding"),
+            F.col("lang").alias("b_lang"),
+        )  # rename every column: both cogroup sides share lineage
     )
     probes = (
-        q_narrow.withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= NPROBE)
-        .join(
-            queries.select(
-                "vec_id",
-                F.col("embedding").alias("q_emb"),
-                F.col("nrm").alias("q_nrm"),
-            ),
-            "vec_id",
-        )
-        .join(lab.withColumnRenamed("lang", "q_lang"), "vec_id")
+        ranked.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select("vec_id", "cell")
+        .join(v, "vec_id")
+        .join(lab, "vec_id")
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("cent_id").alias("cell"),
-            "q_emb",
-            "q_nrm",
-            "q_lang",
+            "cell",
+            F.col("embedding").alias("q_emb"),
+            F.col("lang").alias("q_lang"),
         )
     )
-    scored = (
-        cells.join(
-            F.broadcast(probes),
-            (cells.cell == probes.cell)
-            & (cells.vec_id != probes.query_id)
-            & (cells.lang != probes.q_lang),
+    top_k = TOP_K
+
+    def pair_topk(pa, pb):
+        # cogrouped per-cell GEMM: pa = probing queries of this cell,
+        # pb = its members; emits each query's local cross-label top-k
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "q_lang": pd.Series([], dtype="object"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "neg_lang": pd.Series([], dtype="object"),
+                "cell": pd.Series([], dtype="int64"),
+                "cosine_sim": pd.Series([], dtype="float64"),
+            }
         )
-        .select(
-            "query_id",
-            "q_lang",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("lang").alias("neg_lang"),
-            cells.cell.alias("cell"),
-            duck_round(
-                cosine(
-                    F.col("q_emb"), F.col("embedding"),
-                    F.col("q_nrm"), F.col("nrm"),
-                ),
-                4,
-            ).alias("cosine_sim"),
+        if not len(pa) or not len(pb):
+            return empty
+        A = np.array(pa["q_emb"].tolist(), dtype=np.float64)
+        avid = pa["query_id"].to_numpy(dtype=np.int64)
+        alang = pa["q_lang"].to_numpy(dtype=object)
+        B = np.array(pb["b_embedding"].tolist(), dtype=np.float64)
+        bvid = pb["b_vec_id"].to_numpy(dtype=np.int64)
+        blang = pb["b_lang"].to_numpy(dtype=object)
+        cellv = int(pb["b_cell"].iloc[0])
+        a_nrm = np.sqrt(
+            np.sum(A.astype(np.longdouble) ** 2, axis=1)
+        ).astype(np.float64)
+        b_nrm = np.sqrt(
+            np.sum(B.astype(np.longdouble) ** 2, axis=1)
+        ).astype(np.float64)
+        sims = (A / a_nrm[:, None]) @ (B / b_nrm[:, None]).T
+        g = np.abs(sims)
+        g *= 1e4
+        g += 0.5
+        d = np.rint(g)
+        np.subtract(d, g, out=d)
+        np.abs(d, out=d)
+        near = d < 1e-6
+        if near.any():
+            Al = A.astype(np.longdouble)
+            Bl = B.astype(np.longdouble)
+            for i, j in zip(*np.nonzero(near)):
+                sims[i, j] = np.float64(
+                    np.dot(Al[i], Bl[j])
+                    / np.longdouble(a_nrm[i] * b_nrm[j])
+                )
+            gv = np.abs(sims[near])
+            gv *= 1e4
+            gv += 0.5
+            g[near] = gv
+        np.floor(g, out=g)
+        s4 = (g * np.sign(sims)).astype(np.int64)
+        out = {
+            "query_id": [], "q_lang": [], "neighbor_id": [],
+            "neg_lang": [], "cosine_sim": [],
+        }
+        for i in range(len(avid)):
+            col = s4[i]
+            keyv = (np.int64(10000) - col) * np.int64(1 << 44) + bvid
+            # cross-label + self filters BEFORE the cut (sim10's guard)
+            vpos = np.flatnonzero((bvid != avid[i]) & (blang != alang[i]))
+            if not len(vpos):
+                continue
+            kq = min(top_k, len(vpos))
+            sub = np.argpartition(keyv[vpos], kq - 1)[:kq]
+            idx = vpos[sub[np.argsort(keyv[vpos][sub], kind="stable")]]
+            out["query_id"].extend([avid[i]] * len(idx))
+            out["q_lang"].extend([alang[i]] * len(idx))
+            out["neighbor_id"].extend(bvid[idx])
+            out["neg_lang"].extend(blang[idx])
+            out["cosine_sim"].extend(col[idx] / 1e4)
+        res = pd.DataFrame(out)
+        if not len(res):
+            return empty
+        res["cell"] = cellv
+        return res[[
+            "query_id", "q_lang", "neighbor_id", "neg_lang",
+            "cell", "cosine_sim",
+        ]]
+
+    # explicit partition count: Python-stage cost is per-KEY, and AQE
+    # would coalesce the few-MB exchange to one worker (cg01's lesson)
+    par = spark.sparkContext.defaultParallelism
+    scored = (
+        probes.repartition(par, "cell")
+        .groupBy("cell")
+        .cogroup(members.repartition(par, "b_cell").groupBy("b_cell"))
+        .applyInPandas(
+            lambda left, right: pair_topk(left, right),
+            "query_id long, q_lang string, neighbor_id long, "
+            "neg_lang string, cell long, cosine_sim double",
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -43,10 +43,7 @@ BNLJ_ALLOWED = {
     "tpch_q22_idle_rich_customers",    # scalar avg-balance subquery
     "pr04_winsorize",                  # broadcast global percentile bounds
     "sim04_ann_ivf",                   # fixed centroid-set replication
-    "sim07_ann_ivfpq",                 # fixed centroid-set replication (IVF coarse stage)
-    "sim08_ann_ivfpq_rerank",          # same coarse stage + bounded candidate broadcast
     "sim09_knn_graph",                 # fixed centroid-set replication (coarse quantizer)
-    "sim11_hard_negatives",            # fixed centroid-set replication (sim04's coarse stage)
     "tx13_unigram_logprob",            # one-row corpus-total replication
     "tx14_dsir_importance",            # two one-row LM-total replications
     "chk05_distribution_drift",        # one-row snapshot-total replication
@@ -74,6 +71,12 @@ ARROW_ALLOWED = {
     "sim09_knn_graph",  # codebook-GEMM assignment + cogrouped cell GEMM
     "dd13_semantic_dedup",  # codebook-GEMM assignment + grouped cell GEMM (r8)
     "sim10_mmr_diverse_topk",  # GEMM candidate gen + greedy MMR re-rank
+    # r9: the IVF-PQ family moves to sim09's kernel pattern — codebook-
+    # GEMM assignment, bit-exact integer-grid PQ encode, cogrouped
+    # per-cell ADC / cross-label scoring with local top-k emission
+    "sim07_ann_ivfpq",
+    "sim08_ann_ivfpq_rerank",
+    "sim11_hard_negatives",
 }
 
 ARROW_NODES = re.compile(
@@ -121,9 +124,8 @@ FORCED_BROADCAST_ALLOWED = {
     "sim04_ann_ivf",               # corpus-adaptive k=ceil(sqrt(N)) centroids
     "sim05_kmeans_assign",         # fixed-k codebook per round
     "sim06_pq_adc",                # 256-entry-per-subspace PQ codebook
-    "sim07_ann_ivfpq",             # IVF centroids + PQ codebook (both bounded)
-    "sim08_ann_ivfpq_rerank",      # same + capped rerank candidate set
-    "sim11_hard_negatives",        # sim04's centroid set + capped query block
+    "sim08_ann_ivfpq_rerank",      # capped rerank candidate set (queries x
+                                   # RERANK_R) broadcast into the exact pass
     "smp06_temperature_resample",  # per-source weight table, |sources|-bounded
     "smp09_mixture_epoch_plan",    # per-source epoch plan, |sources|-bounded
     "tx10_tfidf_topterms",         # vocabulary-bounded doc-frequency table
