@@ -1856,6 +1856,13 @@ def _ivfpq_scored(
 
     ``nprobe`` widens the probed-cell set per query — candidate count
     (and so ADC work) grows linearly with it, recall monotonically.
+
+    Measured (r9, fresh-JVM bench legs, interleaved DuckDB): sim07
+    0.95x DuckDB at sf1 and 0.08x at sf10 (was 2.97x/2.24x on the HOF
+    form); sim08 1.24x/0.13x (was 2.65x/2.28x); sim11 1.49x/0.13x
+    (was 3.48x/3.19x) — the same inversion sim09's kernels showed:
+    Spark's per-cell GEMM beats the single-process SQL twin by ~10x
+    once the corpus outgrows one box's interpreter throughput.
     """
     ranked = swap_live_persisted(
         (id(spark.sparkContext), f"sim07_ranked_{nprobe}"),
