@@ -828,6 +828,16 @@ def a11_share_of_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``groupby(...).transform('sum')`` percent-of-category), re-expressed as
     ``SUM(n) OVER (PARTITION BY ...)`` — the window reuses the groupBy's
     hash partitioning on p_brand, so no second shuffle.
+
+    Floor evidence (FLOOR_PROBE.json, r9 — one fresh JVM per leg,
+    median of 5, interleaved DuckDB): 0.33 / 0.34 / 0.35 / 0.79 s at
+    sf0.001/0.01/0.1/1 — flat-to-2.4x across 1000x data, i.e. the
+    wall time is per-job fixed overhead (scheduler, stage launch,
+    exchange bookkeeping), not per-row compute; DuckDB's 15-23 ms
+    in-process latency is the thing a distributed engine structurally
+    pays for. At cluster scale the same plan's stage durations dwarf
+    that constant. This is the measured form of the ">2x at every SF
+    on sub-second absolutes" flag from rounds 7-8.
     """
     part = _t(spark, sf_dir, "part")
     counts = part.groupBy("p_brand", "p_type").agg(F.count("*").alias("n"))
@@ -1470,6 +1480,10 @@ def ev05_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop before the aggregate. The segment dimension broadcasts; the
     final rollup is segment-cardinality. The conversion ratio divides
     two exact longs — one double op, identical in both engines.
+
+    Floor evidence (FLOOR_PROBE.json, r9): 0.44 / 0.72 / 0.57 /
+    0.83 s at sf0.001/0.01/0.1/1 — ~flat (1.9x) across 1000x data:
+    per-job fixed overhead, not per-row compute (see a11's note).
     """
     ev = _t(spark, sf_dir, "events")
     base = ev.filter(F.col("event_type").isin("signup", "purchase")).select(
