@@ -244,12 +244,20 @@ def main() -> None:
         "legs": results,
         "claim": (
             "pipe01's exact shingle-pair stage is excluded from the sf10 "
-            "bench/correctness legs because its pair exchange exceeds a "
-            "single box's scratch in both engines; this artifact records "
-            "the measured evidence (outcome + peak scratch at kill) "
-            "instead of prose. pipe02 (banded LSH) is the benchmarked "
-            "production funnel; pipe01 stays value-verified at sf<=1 "
-            "via the driver gate, local sweeps, and the sf1 probe."
+            "bench legs because Spark's shuffle MATERIALIZES the pair "
+            "exchange as scratch and exceeds a single box's disk budget "
+            "(the r9 run was killed at 40.2 GB written, 488 s in); the "
+            "pre-r9 prose said 'both engines', but the measured run "
+            "shows DuckDB's streaming pipeline COMPLETES the same exact "
+            "stage at sf10 (196 s, zero spill) — the honest reading is "
+            "a single-box Spark limitation, not a both-engines one: a "
+            "materializing shuffle is the price of the thing that "
+            "distributes, and on a cluster the same exchange spreads "
+            "over N nodes' scratch while the streaming single-box plan "
+            "cannot scale past one machine. pipe02 (banded LSH) is the "
+            "benchmarked production funnel; pipe01 stays value-verified "
+            "at sf<=1 via the driver gate, local sweeps, and the sf1 "
+            "probe."
         ),
     }
     out = REPO / "PIPE01_SF10_EXCLUSION.json"
