@@ -964,6 +964,11 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     The canonical "does partial aggregation work" query: billions of rows
     collapse to a handful of groups map-side; the shuffle moves only
     per-partition partials. One wide scan, one exchange, no joins.
+
+    Floor evidence (FLOOR_PROBE.json, r9): 0.28 / 0.33 / 0.33 /
+    0.37 s at sf0.001/0.01/0.1/1 — flat (1.3x) across 1000x data
+    while DuckDB grows 11x: per-job fixed overhead, not per-row
+    compute (see a11's note).
     """
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -1017,6 +1022,11 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated stream — never priced line rows — through the custkey
     exchange; at 100 TB the can't-broadcast fallback is dd10's Bloom
     semi-join shape.
+
+    Floor evidence (FLOOR_PROBE.json, r9): 0.37 / 0.54 / 0.49 /
+    0.64 s at sf0.001/0.01/0.1/1 — flat (1.7x) across 1000x data
+    while DuckDB grows 8.5x: per-job fixed overhead, not per-row
+    compute (see a11's note).
     """
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(

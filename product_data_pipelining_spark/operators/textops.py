@@ -107,6 +107,11 @@ def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword ratio are flagged; the same rule family the reference's
     null-gating plays at ingest (``main_pipeline.py:379-380``), scaled to
     corpus curation.
+
+    Floor evidence (FLOOR_PROBE.json, r9): 0.15 / 0.12 / 0.30 /
+    0.22 s at sf0.001/0.01/0.1/1 — flat (2.4x) across 1000x data:
+    per-job fixed overhead, not per-row compute (see a11's note in
+    ``relational.py``).
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens()
@@ -582,6 +587,11 @@ def tx11_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     every feature map-side; the only shuffle is the fingerprint window
     — at 100 TB the featurization cost is amortized across all three
     gates instead of three separate pipeline passes.
+
+    Floor evidence (FLOOR_PROBE.json, r9): 0.30 / 0.28 / 0.58 /
+    0.66 s at sf0.001/0.01/0.1/1 — flat (2.4x) across 1000x data:
+    per-job fixed overhead, not per-row compute (see a11's note in
+    ``relational.py``).
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens()
