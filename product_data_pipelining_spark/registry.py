@@ -158,9 +158,18 @@ _DRIVER_PRIORITY = [
     # tx14 (DSIR), a23 (count-min sketch), smp09 (mixture planner)
     "a11_share_of_group_window",
     "a12_a13_median_by_group",
-    "ev08_rate_anomaly",
+    # ev08 / a23 / smp01 rotated OUT this round (r9): each carries
+    # driver-verified rows from the r7 AND r8 gates and stays in the
+    # local oracle-parity sweep at the driver's own SF (sf0.01) plus
+    # CORRECTNESS_SF0_1; smp09 keeps the sampling family's in-window
+    # row. Their rows go to the never-driver-verified custom-operator
+    # extensions j05 (as-of join), j06 (range join) and ev09 (Markov
+    # transition matrix) — all oracled and value-matched in the
+    # round-9 sf0.1 sweep.
+    "j05_asof_join",
+    "j06_range_join",
+    "ev09_markov_transitions",
     "tx14_dsir_importance",
-    "a23_countmin_frequency",
     "smp09_mixture_epoch_plan",
     # TPC-H flagships (bench headliners)
     "tpch_q1_pricing_summary",
@@ -177,7 +186,6 @@ _DRIVER_PRIORITY = [
     # LLM-pipeline flagships: similarity, sampling, dedup
     "sim01_ann_bruteforce_topk",
     "sim02_ann_lsh_bucketed",
-    "smp01_hash_split",
     "dd01_exact_dedup",
     "dd04_minhash_lsh_pairs",
     # remaining bench headliners (every oracled HEADLINE query gets a
