@@ -460,7 +460,10 @@ def a03_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Honest gap (r9, alternating fresh-JVM A/B on /tmp/sf1 + /tmp/sf10,
     duck interleaved): this form 2.77 s at sf1 / ~15-23 s at sf10 vs
     the r8 rank-window's 3.8-4.0 s / 17.6-19 s — faster at both SFs —
-    but still ~7x DuckDB's single-process quantile_cont. The residual
+    but still ~7x DuckDB's single-process quantile_cont. Persisting
+    the group frame (below) then cut the re-derived fused aggregate:
+    isolated A/B 3.39 -> 3.07 s at sf1, 14.2 -> 9.6 s at sf10
+    (spread <=0.11), leaving ~3.2x at sf10. The remaining residual
     is NOT percentile machinery: a countDistinct-only twin of pass 1
     measures 1.5-2.4 s at sf1 / 4.7-6.6 s at sf10 by itself — the
     exact-distinct (group, partkey) re-shuffle dominates, where DuckDB
@@ -496,6 +499,16 @@ def a03_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_extendedprice").alias("_vmax"),
         F.count("l_extendedprice").alias("_n"),
     )
+    # g is referenced four times below (gstats twice, ranks, the final
+    # join) and Spark re-derives an unpersisted subplan per reference —
+    # the r9 PLANS.md snapshot showed SEVEN lineitem scans with the
+    # heavy distinct-fused aggregate running four times. Persisting the
+    # |groups|-bounded frame (calendar x returnflag rows, never
+    # SF-proportional) collapses the plan to the documented three fact
+    # scans: one for g, two for nn (histogram + candidate passes).
+    from .similarity import swap_live_persisted
+
+    g = swap_live_persisted("a03_g", g)
     gstats = g.select("returnflag", "_d", "_n", "_vmin", "_vmax")
 
     def pos_of(q: float):
