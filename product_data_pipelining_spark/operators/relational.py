@@ -508,7 +508,9 @@ def a03_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans: one for g, two for nn (histogram + candidate passes).
     from .similarity import swap_live_persisted
 
-    g = swap_live_persisted("a03_g", g)
+    # keyed by (context id, tag) like sim09/dd13 so a frame cached under
+    # a stopped SparkContext is never unpersisted after a restart
+    g = swap_live_persisted((id(spark.sparkContext), "a03_g"), g)
     gstats = g.select("returnflag", "_d", "_n", "_vmin", "_vmax")
 
     def pos_of(q: float):

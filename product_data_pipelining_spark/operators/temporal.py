@@ -56,13 +56,29 @@ def asof_join(
         .orderBy(F.asc(ts_col), F.desc("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched_ts = F.last(
-        F.when(F.col("__side") == 1, F.col(ts_col)), ignorenulls=True
+    # Carry (ts, values) as ONE struct: the struct is non-null exactly at
+    # right rows, so last(..., ignorenulls) lands on the MATCHED row and a
+    # NULL value there stays NULL — carrying each value column separately
+    # with last(c, ignorenulls) would read an older non-null value while
+    # __asof_ts points at the matched row (DuckDB ASOF returns the matched
+    # row's NULL). A NULL-ts right row matches nothing under `>=` and is
+    # excluded from the carry, same as the oracle.
+    carried = F.last(
+        F.when(
+            (F.col("__side") == 1) & F.col(ts_col).isNotNull(),
+            F.struct(
+                F.col(ts_col).alias("__ts"),
+                *[F.col(c).alias(c) for c in value_cols],
+            ),
+        ),
+        ignorenulls=True,
     ).over(w)
-    out = u.withColumn("__asof_ts", matched_ts)
+    out = u.withColumn("__c", carried).withColumn(
+        "__asof_ts", F.col("__c.__ts")
+    )
     for c in value_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out.filter(F.col("__side") == 0).drop("__side")
+        out = out.withColumn(c, F.col(f"__c.{c}"))
+    return out.filter(F.col("__side") == 0).drop("__side", "__c")
 
 
 def range_join_candidates(

@@ -1389,3 +1389,47 @@ def test_pipe01_staged_oracle_matches_plain():
         ok, why = frames_match(staged, plain)
         assert ok, f"{sfd}: staged oracle diverges from plain: {why}"
         con.close()
+
+
+def test_asof_join_null_value_at_matched_row(spark):
+    """A NULL value on the MATCHED right row must surface as NULL, not an
+    older non-null value carried past it (DuckDB ASOF semantics: the value
+    comes from the matched row). Regression for the struct-carry fix in
+    :func:`temporal.asof_join`; checked directly against DuckDB's native
+    ASOF LEFT JOIN on the same frame."""
+    import duckdb
+    import pandas as pd
+
+    from product_data_pipelining_spark.operators.temporal import asof_join
+
+    lpd = pd.DataFrame({"k": ["a", "a", "a"], "ts": [5, 15, 25]})
+    # right at ts=10 has a NULL value; older ts=1 has a non-null one
+    rpd = pd.DataFrame(
+        {"k": ["a", "a"], "ts": [1, 10], "val": [100.0, None]}
+    )
+    left = spark.createDataFrame(lpd)
+    right = spark.createDataFrame(rpd)
+    got = (
+        asof_join(left, right, by=["k"], ts_col="ts", value_cols=["val"])
+        .select("k", "ts", "__asof_ts", "val")
+        .orderBy("ts")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("l", lpd)
+    con.register("r", rpd)
+    want = con.execute(
+        """
+        SELECT l.k, l.ts, r.ts AS __asof_ts, r.val
+        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts
+        ORDER BY l.ts
+        """
+    ).df()
+    con.close()
+    assert list(got["__asof_ts"].fillna(-1)) == list(
+        want["__asof_ts"].fillna(-1)
+    )
+    # the ts=15 and ts=25 probes match the ts=10 right row whose val is
+    # NULL — the old per-column carry returned 100.0 here
+    assert got["val"].isna().tolist() == want["val"].isna().tolist()
+    assert got.loc[got["ts"] == 5, "val"].iloc[0] == 100.0
