@@ -2072,6 +2072,15 @@ def sim08_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 MMR_C = 40  # candidate pool per query fed to the re-ranker
 MMR_K = 10  # diversified results emitted per query
 MMR_LAM_NUM, MMR_LAM_DEN = 7, 3  # lambda = 0.7 as exact integers
+# Candidate-stage probe widening: probe enough IVF cells that the
+# EXPECTED probed mass (nprobe * N / k cells) is >= MASS x the MMR_C
+# candidate demand, clamped to [NPROBE, k]. At fixture corpora
+# (N <= 2000) the formula saturates at nprobe == k — every cell is
+# probed, so the candidate set equals the exact brute-force top-C and
+# the bit-exact mirror test holds with no recall caveat. At scale the
+# clamp bites (sf1: 15/142 cells, sf10: 5/448) and the stage becomes
+# the same bounded-recall IVF search sim07/sim08 use.
+MMR_NPROBE_MASS = 50
 
 
 @register("sim10_mmr_diverse_topk")
@@ -2088,130 +2097,148 @@ def sim10_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract); determinism comes from doing ALL scoring on the 1e-4
     integer cosine grid with neighbor_id tie-breaks.
 
-    Scale shape: three bounded stages. (1) sim01's partial-top-k GEMM
-    kernel, widened to MMR_C — each Arrow batch emits at most
-    |queries| x MMR_C SKINNY rows (query_id, neighbor_id, sim4; 24
-    bytes), never the score matrix and never the vectors. (2) a
-    window top-C per query collapses the per-batch partials to the
-    global candidate set (numq x MMR_C rows), and only THOSE rows
-    join back to the corpus for their vectors — a key equi-join
-    bounded by the query block, not the corpus. (3) ``applyInPandas``
-    keyed on query_id runs the greedy loop over an MMR_C x MMR_C
-    pairwise block — O(C^2) doubles per query,
-    corpus-size-independent. Only the bounded query block broadcasts;
-    the corpus streams once, columnar.
+    Scale shape (r10 rework): three bounded stages. (1) Candidate
+    generation rides the family's IVF kernels — ``_gemm_cell_ranked``
+    assigns every vector its nprobe nearest cells in one corpus-scan
+    BLAS matmul against the broadcast sqrt-N codebook, then a
+    cogrouped per-cell GEMM scores each cell's probing queries
+    against its members and emits LOCAL top-C SKINNY rows (query_id,
+    neighbor_id, sim4; 24 bytes) — never the score matrix and never
+    the vectors. The r7-r9 form was a brute corpus x query-block GEMM:
+    N^2/QUERY_STRIDE work, the measured 91x time for 100x data and the
+    two heaviest unbaselined rows in BENCH_SF10. Per-cell work is
+    nprobe x sum(occ x nq_cell) ~ O(N) for fixed nprobe. (2) a window
+    top-C per query merges the <= nq x nprobe x C local partials into
+    the global candidate set, and only THOSE rows join back to the
+    corpus for their vectors — a key equi-join bounded by the query
+    block, not the corpus. (3) ``applyInPandas`` keyed on query_id
+    runs the greedy loop over an MMR_C x MMR_C pairwise block —
+    O(C^2) doubles per query, corpus-size-independent.
 
-    The round-6 shape carried each candidate's 64-float vector
-    through the pool shuffle (~16x the input bytes per batch at
-    sf10); because batch count grows with partition count, MORE cores
-    meant MORE shuffled vector bytes — the measured inverse core
-    scaling in BENCH_CPUSCALE (52.7s @ 8 cores -> 76.1s @ 16). The
-    skinny pool + fetch-after-cut removes the corpus-proportional
-    vector traffic entirely; round-7 A/B at sf10 (median-of-3 warm):
-    18.2s @ 8 cores -> 11.8s @ 32 (was 0.72x speedup, now 1.54x —
-    sub-linear because the remaining cost is memory-bandwidth-bound
-    numpy scoring, which cores share; on a real cluster each executor
-    brings its own memory bus).
+    Exactness: nprobe widens with MMR_NPROBE_MASS (probed mass >=
+    50x the candidate demand), which saturates at nprobe == k for the
+    fixture corpora (N <= 2000) — every cell probed, candidate set
+    IDENTICAL to exact brute force, so the bit-exact Python mirror
+    (tests/test_pipeline.py) holds with no recall caveat. At sf1+ the
+    clamp bites (15/142, then 5/448 cells) and the candidate stage is
+    the same bounded-recall IVF search sim07/sim08 document; the
+    greedy re-rank stays exact over whatever candidates arrive.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    q_rows = (
-        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
-        .select("vec_id", "embedding")
-        .limit(MAX_QUERY_BLOCK + 1)
-        .collect()
-    )
-    if len(q_rows) > MAX_QUERY_BLOCK:
+    n = corpus_size(spark, sf_dir)
+    nq = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).count()
+    if nq > MAX_QUERY_BLOCK:
         raise ValueError(
             f"sim10 query block exceeds MAX_QUERY_BLOCK={MAX_QUERY_BLOCK}; "
             "shard the query batch or raise the cap deliberately"
         )
-    key = (id(spark.sparkContext), "sim10")
-    prev = _LIVE_QUERY_BLOCK.pop(key, None)
-    if prev is not None:
-        prev.unpersist(blocking=False)
-    q_block = spark.sparkContext.broadcast(
-        (
-            [int(r.vec_id) for r in q_rows],
-            [list(map(float, r.embedding)) for r in q_rows],
+    k = centroid_budget(n)
+    nprobe = max(NPROBE, min(k, -(-(MMR_NPROBE_MASS * MMR_C * k) // n)))
+    ranked = swap_live_persisted(
+        (id(spark.sparkContext), f"sim10_ranked_{nprobe}"),
+        _gemm_cell_ranked(spark, sf_dir, nprobe, f"sim10cent{nprobe}"),
+    )
+    v = emb.select("vec_id", "embedding")
+    # members: one cell per corpus vector; probes: the bounded query
+    # block, nprobe cells each. Rename every member column — both
+    # cogroup sides share lineage (round-5 sim07 lesson).
+    members = (
+        ranked.filter(F.col("crank") == 1)
+        .select("vec_id", "cell")
+        .join(v, "vec_id")
+        .select(
+            F.col("vec_id").alias("b_vec_id"),
+            F.col("cell").alias("b_cell"),
+            F.col("embedding").alias("b_embedding"),
         )
     )
-    _LIVE_QUERY_BLOCK[key] = q_block
-
+    probes = (
+        ranked.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+        .join(v.select(F.col("vec_id").alias("query_id"), "embedding"),
+              "query_id")
+    )
     cand_c = MMR_C
 
-    def candidates(batches):
-        # nested closure: pickled by value, workers don't need the repo
+    def cell_topc(pl, pr):
+        # cogrouped per-cell GEMM: pl = queries probing this cell,
+        # pr = the cell's members; emits each query's LOCAL top-C on
+        # the 1e-4 grid — float64 BLAS + longdouble boundary refinement
+        # (sim01's technique), so grid values are independent of the
+        # matmul's batch shape and bit-equal to the brute mirror's.
         import numpy as np
         import pandas as pd
 
-        q_ids, q_mat = q_block.value
-        Q = np.array(q_mat, dtype=np.float64)
-        qid = np.array(q_ids, dtype=np.int64)
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "sim4": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(pl) or not len(pr):
+            return empty
+        Q = np.array(pl["embedding"].tolist(), dtype=np.float64)
+        qid = pl["query_id"].to_numpy(dtype=np.int64)
+        C = np.array(pr["b_embedding"].tolist(), dtype=np.float64)
+        vid = pr["b_vec_id"].to_numpy(dtype=np.int64)
         q_nrm = np.sqrt(
             np.sum(Q.astype(np.longdouble) ** 2, axis=1)
         ).astype(np.float64)
-        Qn = Q / q_nrm[:, None]  # pre-normalized once per task
-        for pdf in batches:
-            if not len(pdf):
+        c_nrm = np.sqrt(
+            np.sum(C.astype(np.longdouble) ** 2, axis=1)
+        ).astype(np.float64)
+        sims = (Q / q_nrm[:, None]) @ (C / c_nrm[:, None]).T
+        a = np.abs(sims)
+        a *= 1e4
+        a += 0.5
+        b = np.rint(a)
+        np.subtract(b, a, out=b)
+        np.abs(b, out=b)
+        near = b < 1e-6
+        if near.any():
+            Ql = Q.astype(np.longdouble)
+            Cl = C.astype(np.longdouble)
+            for i, j in zip(*np.nonzero(near)):
+                sims[i, j] = np.float64(
+                    np.dot(Ql[i], Cl[j])
+                    / np.longdouble(q_nrm[i] * c_nrm[j])
+                )
+            av = np.abs(sims[near])
+            av *= 1e4
+            av += 0.5
+            a[near] = av
+        np.floor(a, out=a)
+        s4 = (a * np.sign(sims)).astype(np.int64)
+        out = {"query_id": [], "neighbor_id": [], "sim4": []}
+        for i in range(len(qid)):
+            col = s4[i]
+            keyv = (np.int64(10000) - col) * np.int64(1 << 44) + vid
+            # hard-drop the self row BEFORE the cut: a max-sentinel
+            # key still survives when the cell has <= cand_c rows
+            vpos = np.flatnonzero(vid != qid[i])
+            if not len(vpos):
                 continue
-            C = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
-            c_nrm = np.sqrt(
-                np.sum(C.astype(np.longdouble) ** 2, axis=1)
-            ).astype(np.float64)
-            # float64 BLAS on pre-normalized vectors + in-place grid +
-            # longdouble boundary refinement with the ORIGINAL
-            # dot/(|c||q|) formula: sim01's hybrid — grid values
-            # provably unchanged (both float64 paths are ~1e-14 scaled
-            # units from the true cosine, 8 orders inside the 1e-6
-            # boundary gate), and the mirror test re-derives the full
-            # output in longdouble
-            sims = (C / c_nrm[:, None]) @ Qn.T
-            a = np.abs(sims)
-            a *= 1e4
-            a += 0.5
-            b = np.rint(a)
-            np.subtract(b, a, out=b)
-            np.abs(b, out=b)
-            near = b < 1e-6
-            if near.any():
-                Cl = C.astype(np.longdouble)
-                Ql = Q.astype(np.longdouble)
-                for i, j in zip(*np.nonzero(near)):
-                    sims[i, j] = np.float64(
-                        np.dot(Cl[i], Ql[j])
-                        / np.longdouble(c_nrm[i] * q_nrm[j])
-                    )
-                av = np.abs(sims[near])
-                av *= 1e4
-                av += 0.5
-                a[near] = av
-            np.floor(a, out=a)
-            # transpose to (nq, batch) with contiguous per-query rows:
-            # strided column gathers over the C-ordered score matrix
-            # cost a cache line per element in the selection loop
-            scaled = np.ascontiguousarray(
-                (a * np.sign(sims)).astype(np.int64).T
-            )
-            out = {"query_id": [], "neighbor_id": [], "sim4": []}
-            for j in range(len(qid)):
-                col = scaled[j]
-                keyv = (np.int64(10000) - col) * np.int64(1 << 44) + vid
-                # hard-drop the self row BEFORE the cut: a max-sentinel
-                # key still survives when the batch has <= cand_c rows
-                vpos = np.flatnonzero(vid != qid[j])
-                if not len(vpos):
-                    continue
-                k = min(cand_c, len(vpos))
-                sub = np.argpartition(keyv[vpos], k - 1)[:k]
-                idx = vpos[sub[np.argsort(keyv[vpos][sub], kind="stable")]]
-                out["query_id"].extend([qid[j]] * len(idx))
-                out["neighbor_id"].extend(vid[idx])
-                out["sim4"].extend(col[idx])
-            yield pd.DataFrame(out)
+            kq = min(cand_c, len(vpos))
+            sub = np.argpartition(keyv[vpos], kq - 1)[:kq]
+            idx = vpos[sub[np.argsort(keyv[vpos][sub], kind="stable")]]
+            out["query_id"].extend([qid[i]] * len(idx))
+            out["neighbor_id"].extend(vid[idx])
+            out["sim4"].extend(col[idx])
+        res = pd.DataFrame(out)
+        return res if len(res) else empty
 
-    pool = emb.select("vec_id", "embedding").mapInPandas(
-        candidates, "query_id long, neighbor_id long, sim4 long"
+    # explicit partition count: Python-stage cost is per-KEY, and AQE
+    # would coalesce the few-MB exchange to one worker (cg01's lesson)
+    par = spark.sparkContext.defaultParallelism
+    pool = (
+        probes.repartition(par, "cell")
+        .groupBy("cell")
+        .cogroup(members.repartition(par, "b_cell").groupBy("b_cell"))
+        .applyInPandas(
+            lambda left, right: cell_topc(left, right),
+            "query_id long, neighbor_id long, sim4 long",
+        )
     )
     # global top-C per query over the per-batch partials: same order as
     # the packed key (sim4 desc, neighbor_id asc) the kernel cuts on,

@@ -1188,14 +1188,19 @@ def test_mmr_rerank_matches_python_mirror(spark, sf_dir):
         assert r.neighbor_id == exp_nid, (r.query_id, r.mmr_rank)
         assert r.relevance == exp_rel
         assert r.mmr_score == exp_score
-    # structural: per-query scores are non-increasing in rank (growing
-    # selected set can only raise the diversity penalty)
+    # structural: per-query scores are non-increasing FROM RANK 2 ON —
+    # for a fixed candidate the penalty max over a growing selected set
+    # is non-decreasing, and the remaining set shrinks, so best_t is
+    # monotone for t >= 1. Rank 1 is excluded: the first pick pays NO
+    # diversity penalty, and when pairwise sims are negative the
+    # penalty term ADDS, so rank 2 can legitimately out-score rank 1
+    # (first arises at sf0.01: query 50, 0.27881 -> 0.30495).
     by_q: dict = {}
     for r in got:
         by_q.setdefault(r.query_id, []).append((r.mmr_rank, r.mmr_score))
     for q, pairs in by_q.items():
         seq = [s for _, s in sorted(pairs)]
-        assert all(a >= b for a, b in zip(seq, seq[1:])), q
+        assert all(a >= b for a, b in zip(seq[1:], seq[2:])), q
 
 
 def test_countmin_guarantee_and_collisions(spark, sf_dir, ddb):
