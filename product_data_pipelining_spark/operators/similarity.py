@@ -1146,56 +1146,114 @@ def sim05_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape — per round, nothing leaves the cluster:
 
-    - ASSIGN: the codebook (ceil(sqrt(N)) × 64 doubles; ≤ 32 MiB at
-      the MAX_CENTROIDS hard cap)
-      broadcasts; the n×K candidate fan-out is collapsed map-side by a
-      partial-combinable max-of-struct aggregate (a19's pattern), so
-      the only data-sized shuffle moves n narrow (vec_id, cluster)
-      rows — same discipline as sim04's assignment.
+    - ASSIGN (r10 rework): the codebook (ceil(sqrt(N)) × 64 doubles;
+      ≤ 32 MiB at the MAX_CENTROIDS hard cap) is collected — a
+      codebook-bounded fetch, never corpus rows — and broadcast; each
+      Arrow batch runs ONE float64-BLAS matmul against it and emits
+      only narrow (vec_id, cluster_id) rows, ``_gemm_cell_ranked``'s
+      kernel at nprobe=1. The r5-r9 form was a crossJoin evaluating
+      the JVM ``aggregate``-HOF cosine INTERPRETED per (vector,
+      centroid) pair — n×K CodegenFallback evaluations, 61.8 s at
+      sf10, the heaviest row in BENCH_SF10 (the same 5x HOF tax the
+      round-8 verdict measured on dd13). Isolated A/B of the rework
+      is in SIM05_BASELINE.json.
     - UPDATE: member vectors posexplode to (cluster, dim, value) and
       sum map-side; the exchange carries at most K×64 rows per map
-      partition. No driver collect: the new codebook stays a (tiny)
-      DataFrame re-broadcast next round.
+      partition; the new codebook stays a tiny DataFrame.
 
     Determinism at any parallelism (what makes the exact pytest mirror
     possible): per-dimension sums quantize to the 1e-6 grid and
     accumulate as BIGINT (order-independent, whole-stage-codegen —
     ``functions/rounding._scaled_long``'s technique), the mean divides
-    that exact integer back in double, and assignment compares
-    ``duck_round(cosine, 6)`` with min-cluster tiebreak, all pure
-    IEEE ops evaluated in a fixed sequential order. Empty clusters
-    drop out (classic Lloyd's); labels are the seed cent_ids, so
-    cluster ids stay stable across rounds and runs.
+    that exact integer back in double, and assignment compares the
+    1e-6-grid cosine with min-cluster tiebreak. Grid values from the
+    BLAS path equal the mirror's sequential-double fold by the
+    longdouble-boundary-refinement argument sim01/sim09 establish
+    (any entry within 1e-6 grid units of a rounding boundary is
+    recomputed exactly), so the bit-exact mirror holds unchanged.
+    Empty clusters drop out (classic Lloyd's); labels are the seed
+    cent_ids, so cluster ids stay stable across rounds and runs.
     """
     v = _with_norm(spark, sf_dir)
     train = v.filter(F.col("vec_id") % KMEANS_TRAIN_MOD == 0)
     cents = v.filter(centroid_filter(spark, sf_dir)).select(
         F.col("vec_id").alias("cluster_id"),
         F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
     )
 
     def assign_to(rows: DataFrame, cents: DataFrame) -> DataFrame:
-        asg_sim = duck_round(
-            cosine(
-                F.col("embedding"), F.col("c_emb"),
-                F.col("nrm"), F.col("c_nrm"),
-            ),
-            6,
-        )
-        narrow = (
-            rows.select("vec_id", "embedding", "nrm")
-            .crossJoin(F.broadcast(cents))
-            .select("vec_id", "cluster_id", asg_sim.alias("asg_sim"))
-        )
-        return (
-            narrow.groupBy("vec_id")
-            .agg(
-                F.max(
-                    F.struct("asg_sim", (-F.col("cluster_id")).alias("nc"))
-                ).alias("m")
+        cent_rows = cents.select("cluster_id", "c_emb").collect()
+        # bounded by centroid_budget (<= MAX_CENTROIDS codebook rows,
+        # never corpus-proportional) — the established codebook-fetch
+        # pattern (sim09/_gemm_cell_ranked)
+        cent_rows.sort(key=lambda r: r.cluster_id)
+        c_block = spark.sparkContext.broadcast(
+            (
+                [int(r.cluster_id) for r in cent_rows],
+                [list(map(float, r.c_emb)) for r in cent_rows],
             )
-            .select("vec_id", (-F.col("m.nc")).alias("cluster_id"))
+        )
+
+        def assign(batches):
+            # nested closure: pickled by value, workers don't need the
+            # repo; same GEMM + 1e-6 grid + longdouble refinement as
+            # _gemm_cell_ranked, cut at nprobe=1 (the argmax)
+            import numpy as np
+            import pandas as pd
+
+            c_ids, c_mat = c_block.value
+            Cm = np.array(c_mat, dtype=np.float64)
+            cid = np.array(c_ids, dtype=np.int64)
+            c_nrm = np.sqrt(
+                np.sum(Cm.astype(np.longdouble) ** 2, axis=1)
+            ).astype(np.float64)
+            Cn = np.ascontiguousarray((Cm / c_nrm[:, None]).T)
+            kk = len(cid)
+            pow2 = 1
+            while pow2 < max(kk, 2):
+                pow2 <<= 1
+            idx_arr = np.arange(kk, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+                x_nrm = np.sqrt(
+                    np.sum(X.astype(np.longdouble) ** 2, axis=1)
+                ).astype(np.float64)
+                sims = (X / x_nrm[:, None]) @ Cn
+                a = np.abs(sims)
+                a *= 1e6
+                a += 0.5
+                b = np.rint(a)
+                np.subtract(b, a, out=b)
+                np.abs(b, out=b)
+                near = b < 1e-6
+                if near.any():
+                    Xl = X.astype(np.longdouble)
+                    Cl = Cm.astype(np.longdouble)
+                    for i, j in zip(*np.nonzero(near)):
+                        sims[i, j] = np.float64(
+                            np.dot(Xl[i], Cl[j])
+                            / np.longdouble(x_nrm[i] * c_nrm[j])
+                        )
+                    av = np.abs(sims[near])
+                    av *= 1e6
+                    av += 0.5
+                    a[near] = av
+                np.floor(a, out=a)
+                s6 = (a * np.sign(sims)).astype(np.int64)
+                # ascending packed key (-s6, centroid index); index
+                # order IS cluster_id order (sorted above) = the
+                # min-id tiebreak of the old max-of-struct aggregate
+                keym = (np.int64(1_000_000) - s6) * pow2 + idx_arr
+                best = np.argmin(keym, axis=1)
+                yield pd.DataFrame(
+                    {"vec_id": vid, "cluster_id": cid[best]}
+                )
+
+        return rows.select("vec_id", "embedding").mapInPandas(
+            assign, "vec_id long, cluster_id long"
         )
 
     for _ in range(KMEANS_ITERS - 1):
@@ -1229,11 +1287,7 @@ def sim05_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "mean"))),
             lambda s: s["mean"],
         )
-        cents = (
-            means.groupBy("cluster_id")
-            .agg(new_emb.alias("c_emb"))
-            .select("cluster_id", "c_emb", norm(F.col("c_emb")).alias("c_nrm"))
-        )
+        cents = means.groupBy("cluster_id").agg(new_emb.alias("c_emb"))
     return assign_to(v, cents)
 
 
