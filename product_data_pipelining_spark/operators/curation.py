@@ -326,6 +326,27 @@ def curation_funnel(
     """
     if pair_stage not in ("exact", "lsh"):
         raise ValueError(f"pair_stage must be 'exact' or 'lsh': {pair_stage}")
+    docs, wcd, sh, ex = _funnel_prelude(spark, sf_dir)
+    if pair_stage == "exact":
+        # _exact_pairs renames EVERY column on the right side of the
+        # self-join so the equi-predicate can't resolve trivially-true
+        # against shared names (round-5 sim07 lesson)
+        pairs = _exact_pairs(ex)
+    else:  # banded MinHash-LSH over the SAME quality-gated shingle frame
+        pairs = minhash_lsh_pairs(
+            spark,
+            sf_dir,
+            hash_mode=lsh_hash_mode,
+            max_bucket=lsh_max_bucket,
+            sh_arr=sh,
+        )
+    return _funnel_from_pairs(spark, docs, wcd, ex, pairs)
+
+
+def _funnel_prelude(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The shared pre-pair-stage frames: docs, wcd, sh, ex."""
     docs = parallelize_scan(
         load_table(spark, sf_dir, "documents"), force=True
     )
@@ -348,47 +369,100 @@ def curation_funnel(
     ex = sh.select(
         "doc_id", F.explode("sh").alias("s"), F.size("sh").alias("nsh")
     )
-    if pair_stage == "exact":
-        # rename EVERY column on the right side of the self-join so the
-        # equi-predicate can't resolve trivially-true against shared
-        # names (round-5 sim07 lesson)
-        a = ex.select(
-            F.col("doc_id").alias("doc_a"),
-            "s",
-            F.col("nsh").alias("na"),
+    return docs, wcd, sh, ex
+
+
+def _exact_pairs(ex: DataFrame, a_pred=None) -> DataFrame:
+    """dd02's exact shingle self-join pair stage, optionally restricted
+    on the a-side (the chunk predicate — exact because (doc_a, doc_b)
+    aggregation groups never cross doc_a chunks)."""
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"),
+        "s",
+        F.col("nsh").alias("na"),
+    )
+    if a_pred is not None:
+        a = a.filter(a_pred)
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("s_b"),
+        F.col("nsh").alias("nb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("s") == F.col("s_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
         )
-        b = ex.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("s").alias("s_b"),
-            F.col("nsh").alias("nb"),
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.any_value(F.col("na")).alias("na"),
+            F.any_value(F.col("nb")).alias("nb"),
         )
-        pairs = (
-            a.join(
-                b,
-                (F.col("s") == F.col("s_b"))
-                & (F.col("doc_a") < F.col("doc_b")),
-            )
-            .groupBy("doc_a", "doc_b")
-            .agg(
-                F.count(F.lit(1)).alias("shared"),
-                F.any_value(F.col("na")).alias("na"),
-                F.any_value(F.col("nb")).alias("nb"),
-            )
-            .filter(
-                F.col("shared")
-                * 1.0
-                / (F.col("na") + F.col("nb") - F.col("shared"))
-                >= JACCARD_THRESHOLD
-            )
+        .filter(
+            F.col("shared")
+            * 1.0
+            / (F.col("na") + F.col("nb") - F.col("shared"))
+            >= JACCARD_THRESHOLD
         )
-    else:  # banded MinHash-LSH over the SAME quality-gated shingle frame
-        pairs = minhash_lsh_pairs(
-            spark,
-            sf_dir,
-            hash_mode=lsh_hash_mode,
-            max_bucket=lsh_max_bucket,
-            sh_arr=sh,
-        )
+    )
+
+
+def pipe01_chunked(
+    spark: SparkSession,
+    sf_dir: str,
+    chunks: int = _PIPE_ORACLE_CHUNKS,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Sequenced exact funnel: the Spark mirror of the DuckDB staging
+    oracle's doc_a-chunk INSERTs (``oracle_stage`` above).
+
+    pipe01's single-plan exact pair stage materializes the full pair
+    multiset into ONE shuffle — measured 40.2 GB of scratch at sf10
+    before the exclusion probe's disk watchdog killed it
+    (PIPE01_SF10_EXCLUSION.json), while DuckDB completes the same
+    funnel only by sequencing 16 chunk statements. Spark's equivalent
+    sequencing boundary is the JOB: a lazy UNION of chunk plans would
+    execute every chunk concurrently in one job (DuckDB's measured
+    UNION-ALL failure mode — 4 parallel chunks spilled 63 GB where one
+    spills nothing), so each ``doc_a % chunks`` slice runs as its own
+    ACTION writing only its QUALIFYING pairs (post-Jaccard, a few rows
+    per chunk) to scratch parquet; dropping the chunk frame lets the
+    ContextCleaner reclaim its shuffle files before the next slice
+    starts, holding peak scratch to ~1/chunks of the single-plan form.
+    The chunk key is the aggregation key's first column, so values are
+    identical (tests/test_plans.py pins frame-equality with pipe01 at
+    the gate fixtures); the funnel tail then runs once over the unioned
+    pair file. This is the single-box posture only — on a cluster the
+    one-shot exchange IS the right plan (distributed scratch), which is
+    why the registered pipe01 keeps it.
+    """
+    import gc
+    import tempfile
+
+    docs, wcd, sh, ex = _funnel_prelude(spark, sf_dir)
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="pipe01_chunks_")
+    for i in range(chunks):
+        part = _exact_pairs(
+            ex, a_pred=F.pmod(F.col("doc_id"), F.lit(chunks)) == i
+        ).select("doc_a", "doc_b")
+        mode = "overwrite" if i == 0 else "append"
+        part.write.mode(mode).parquet(scratch)
+        del part
+        gc.collect()  # release the chunk's shuffle for cleanup
+    pairs = spark.read.parquet(scratch)
+    return _funnel_from_pairs(spark, docs, wcd, ex, pairs)
+
+
+def _funnel_from_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    wcd: DataFrame,
+    ex: DataFrame,
+    pairs: DataFrame,
+) -> DataFrame:
+    """The funnel tail: everything after the pair stage."""
     dupes = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     bsh = (
         docs.filter(F.col("doc_id") % 97 == 0)

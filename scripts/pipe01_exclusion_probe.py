@@ -65,14 +65,26 @@ def _watch(paths, budget_bytes, state, on_kill, interval=5.0):
         time.sleep(interval)
 
 
-def spark_leg(sf_dir: str, budget_bytes: int, timeout_sec: int) -> None:
+def spark_leg(
+    sf_dir: str, budget_bytes: int, timeout_sec: int, chunked: bool = False
+) -> None:
     scratch = tempfile.mkdtemp(prefix="pipe01probe-spark-")
     os.environ["SPARK_LOCAL_DIRS"] = scratch
+    from product_data_pipelining_spark.operators.curation import (
+        pipe01_chunked,
+    )
     from product_data_pipelining_spark.registry import all_queries
     from product_data_pipelining_spark.session import get_spark
 
     spark = get_spark(app_name="pipe01-exclusion-probe", cpus=32)
-    df = all_queries()["pipe01_curation_funnel"].fn(spark, sf_dir)
+    if chunked:
+        # the sequenced doc_a-chunk mode; its pair parquet lives under
+        # the SAME watched scratch so the budget covers it too. NOTE:
+        # pipe01_chunked runs its chunk jobs EAGERLY here (inside the
+        # timed window that starts below).
+        df = None
+    else:
+        df = all_queries()["pipe01_curation_funnel"].fn(spark, sf_dir)
     state = {"done": False, "killed": False, "peak_scratch_bytes": 0}
 
     def kill():
@@ -89,7 +101,14 @@ def spark_leg(sf_dir: str, budget_bytes: int, timeout_sec: int) -> None:
 
         def run():
             try:
-                df.write.format("noop").mode("overwrite").save()
+                if chunked:
+                    out = pipe01_chunked(
+                        spark, sf_dir,
+                        scratch_dir=os.path.join(scratch, "pairs"),
+                    )
+                    out.write.format("noop").mode("overwrite").save()
+                else:
+                    df.write.format("noop").mode("overwrite").save()
             except Exception as exc:  # cancelled or failed
                 err.append(repr(exc)[:300])
 
@@ -187,19 +206,24 @@ def main() -> None:
     ap.add_argument("--dir", default="/tmp/sf10")
     ap.add_argument("--budget-gb", type=float, default=40.0)
     ap.add_argument("--timeout-sec", type=int, default=1500)
-    ap.add_argument("--leg", choices=["spark", "duck"], default=None)
+    ap.add_argument(
+        "--leg", choices=["spark", "spark_chunked", "duck"], default=None
+    )
     args = ap.parse_args()
     budget = int(args.budget_gb * GB)
 
     if args.leg == "spark":
         spark_leg(args.dir, budget, args.timeout_sec)
         return
+    if args.leg == "spark_chunked":
+        spark_leg(args.dir, budget, args.timeout_sec, chunked=True)
+        return
     if args.leg == "duck":
         duck_leg(args.dir, budget, args.timeout_sec)
         return
 
     results = {}
-    for leg in ("spark", "duck"):
+    for leg in ("spark", "spark_chunked", "duck"):
         stdout, stderr, rc, parent_timed_out = "", "", None, False
         try:
             proc = subprocess.run(

@@ -1433,3 +1433,29 @@ def test_asof_join_null_value_at_matched_row(spark):
     # NULL — the old per-column carry returned 100.0 here
     assert got["val"].isna().tolist() == want["val"].isna().tolist()
     assert got.loc[got["ts"] == 5, "val"].iloc[0] == 100.0
+
+
+def test_pipe01_chunked_matches_single_plan(spark, tmp_path):
+    """pipe01_chunked (the sequenced doc_a-chunk exact mode mirroring
+    the DuckDB staging oracle) must produce the IDENTICAL frame as the
+    registered single-plan pipe01 at both gate SFs."""
+    from product_data_pipelining_spark.operators.curation import (
+        pipe01_chunked,
+    )
+
+    for i, sfd in enumerate(
+        ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    ):
+        plain = (
+            QUERIES["pipe01_curation_funnel"].fn(spark, sfd)
+            .orderBy("doc_id")
+            .collect()
+        )
+        chunked = (
+            pipe01_chunked(
+                spark, sfd, chunks=4, scratch_dir=str(tmp_path / f"c{i}")
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert [tuple(r) for r in chunked] == [tuple(r) for r in plain], sfd
