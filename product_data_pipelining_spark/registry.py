@@ -169,20 +169,29 @@ _DRIVER_PRIORITY = [
     "j05_asof_join",
     "j06_range_join",
     "ev09_markov_transitions",
-    "tx14_dsir_importance",
-    "smp09_mixture_epoch_plan",
+    # r10 rotation (r9 verdict ask #6): tx14 / smp09 / pr02 / tx10 OUT —
+    # each carries driver-verified rows from two or more prior gates
+    # (tx14/smp09 since r6, pr02/tx10 since the ADVICE-r1/r2 era) and
+    # all four stay value-swept locally (test_oracle_parity +
+    # CORRECTNESS_SF0_1); their families keep in-window rows
+    # (tx02/tx11/tx16 for textops, smp08 below for sampling, a03/a12
+    # for duck_round-sensitive aggregates). IN: the never-driver-
+    # verified w01 (window ranking/offset frames), smp08 (weighted
+    # sampling — keeps the sampling family's in-window row), pr05
+    # (correlation matrix) and tp03 (OHLC bars), all oracled and
+    # value-matched in the sf0.1 sweep.
+    "w01_ranking_offset_frames",
+    "smp08_weighted_sample",
+    "pr05_correlation_matrix",
+    "tp03_ohlc_bars",
     # TPC-H flagships (bench headliners)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_revenue",
-    # rounding-boundary-sensitive queries (ADVICE r1/r2 fix); ev06 and
-    # chk02 rotated out to make window room for the dd14/pipe01
-    # headliners — both stay oracle-swept locally (test_oracle_parity +
-    # CORRECTNESS_SF0_1) and pr02/tx10 keep the rounding family's
-    # driver-visible rows
+    # rounding-boundary-sensitive family: ev05 keeps the funnel row;
+    # pr02/tx10 rotated OUT this round (see the r10 rotation note
+    # above)
     "ev05_funnel_conversion",
-    "pr02_numeric_stats",
-    "tx10_tfidf_topterms",
     # LLM-pipeline flagships: similarity, sampling, dedup
     "sim01_ann_bruteforce_topk",
     "sim02_ann_lsh_bucketed",

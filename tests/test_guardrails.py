@@ -49,7 +49,8 @@ BNLJ_ALLOWED = {
     "chk05_distribution_drift",        # one-row snapshot-total replication
     "tx15_token_pmi",                  # one-row corpus-total replication
     "a21_theta_audience_overlap",      # |event_types|^2 sketch-table self-pair
-    "sim05_kmeans_assign",             # bounded codebook replication/round
+    # sim05 left this list in r10: its crossJoin assignment became the
+    # broadcast-codebook GEMM kernel (see ARROW_ALLOWED)
     "chk02_outlier_zscore",            # 3-row broadcast moment re-scan
     # documented quadratic BASELINES: the oracle-exact reference twins of
     # the bucketed scale paths (sim02/dd04 cover the 100 TB shape); both
@@ -77,6 +78,11 @@ ARROW_ALLOWED = {
     "sim07_ann_ivfpq",
     "sim08_ann_ivfpq_rerank",
     "sim11_hard_negatives",
+    # r10: sim05's Lloyd assignment moves from the interpreted-HOF
+    # crossJoin (61.8 s at sf10) to the same broadcast-codebook GEMM
+    # kernel at nprobe=1 — codebook-bounded collect, mapInPandas BLAS,
+    # narrow (vec_id, cluster_id) output
+    "sim05_kmeans_assign",
 }
 
 ARROW_NODES = re.compile(
@@ -122,7 +128,8 @@ FORCED_BROADCAST_ALLOWED = {
     "pr04_winsorize",              # global percentile-bounds frame
     "sim02_ann_lsh_bucketed",      # capped query block (MAX_QUERY_BLOCK)
     "sim04_ann_ivf",               # corpus-adaptive k=ceil(sqrt(N)) centroids
-    "sim05_kmeans_assign",         # fixed-k codebook per round
+    # sim05 left this list in r10: the codebook now ships as a Python
+    # broadcast into the GEMM kernel — no BroadcastExchange in the plan
     "sim06_pq_adc",                # 256-entry-per-subspace PQ codebook
     "sim08_ann_ivfpq_rerank",      # capped rerank candidate set (queries x
                                    # RERANK_R) broadcast into the exact pass
