@@ -437,6 +437,13 @@ def pipe01_chunked(
     pair file. This is the single-box posture only — on a cluster the
     one-shot exchange IS the right plan (distributed scratch), which is
     why the registered pipe01 keeps it.
+
+    Measured (r10, PIPE01_SF10_EXCLUSION.json, 40 GB budget): the
+    single-plan form is killed at 40.7 GB scratch 311 s in; this mode
+    COMPLETES the exact sf10 funnel in 749.5 s at 7.5 GB peak; DuckDB's
+    sequenced staging completes in 122.8 s zero-spill — the fastest
+    single-box exact path. The chunked trade is ~6x wall-clock for
+    ~5x-bounded scratch.
     """
     import gc
     import tempfile
