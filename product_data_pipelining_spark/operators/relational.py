@@ -1176,6 +1176,12 @@ def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``io.broadcast_or_shuffle_hash``). At 100 TB, bucketing orders and
     lineitem on orderkey (``io.write_bucketed``) removes the two fact
     exchanges; AQE handles orderkey skew on cluster paths.
+
+    Floor evidence (FLOOR_PROBE.json, r10 — one fresh JVM per leg):
+    spark medians 0.60 / 0.82 / 1.21 / 1.92 s across sf0.001 -> sf1
+    (3.2x for 1000x data) while DuckDB grows 0.020 -> 0.21 s (13.7x) —
+    the >2x sf1 bench ratio is the fixed per-job floor, not a plan
+    property, and the sf10 interleaved ratio converges to 1.6x.
     """
     from ..io import broadcast_or_shuffle_hash
 
