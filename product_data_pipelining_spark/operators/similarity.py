@@ -425,6 +425,16 @@ def sim02_ann_lsh_bucketed(
     never materialized as pairs). Queries in a dropped bucket return no
     rows; the production remedy is more bits / multi-probe (sim04+),
     not pairing through a degenerate cell.
+
+    sf10 adjudication (r10): the registered md5-parity twin's bench-
+    tail rows swing with JVM carryover (55.5 s spread 0.59 in
+    BENCH_SF10 vs 25.3 s spread 0.19 isolated — ratio 3.07x vs
+    DuckDB's identical SQL). The super-linear growth is BY DESIGN
+    oracle parity: uncapped 16-bucket fan-out with JVM md5 per
+    shingle so DuckDB can reproduce exact values; the production twin
+    sim02x (xxhash64, per-bucket GEMM, capped) is the scale path and
+    scales cleanly. Adjudicate this row with scripts/isolated_bench.py
+    before reading it as a regression.
     """
     v = _with_norm(spark, sf_dir)
     if max_bucket is not None:
