@@ -375,14 +375,17 @@ def _funnel_prelude(
 def _exact_pairs(ex: DataFrame, a_pred=None) -> DataFrame:
     """dd02's exact shingle self-join pair stage, optionally restricted
     on the a-side (the chunk predicate — exact because (doc_a, doc_b)
-    aggregation groups never cross doc_a chunks)."""
-    a = ex.select(
+    aggregation groups never cross doc_a chunks). ``a_pred`` references
+    ``doc_id`` and is applied to ``ex`` BEFORE the doc_a-aliasing
+    select, so it resolves against a column the frame actually exposes
+    (filtering after the rename only worked via the analyzer's implicit
+    missing-reference re-add on Filter — r10 ADVICE)."""
+    a_src = ex if a_pred is None else ex.filter(a_pred)
+    a = a_src.select(
         F.col("doc_id").alias("doc_a"),
         "s",
         F.col("nsh").alias("na"),
     )
-    if a_pred is not None:
-        a = a.filter(a_pred)
     b = ex.select(
         F.col("doc_id").alias("doc_b"),
         F.col("s").alias("s_b"),
@@ -409,11 +412,81 @@ def _exact_pairs(ex: DataFrame, a_pred=None) -> DataFrame:
     )
 
 
+# auto-sizing granularity for pipe01_chunked: the doc_a space splits
+# into this many fixed residue SUBCHUNKS; measured scratch from the
+# first two jobs fits peak(g) ~= B + g*V (B = the constant b-side
+# shingle exchange, V = one subchunk's share of the pair-aggregation
+# spill) and the remaining residues run in groups of g sized to the
+# budget. 48 is fine enough that one subchunk always fits any sane
+# budget yet coarse enough that the two calibration jobs stay cheap.
+_PIPE_SUBCHUNKS = 48
+# target fraction of the scratch budget for a chunk-group's projected
+# peak: headroom for the linear model's error and for the qualifying-
+# pair parquet accumulating under the same budget
+_PIPE_BUDGET_SAFETY = 0.5
+
+
+def _du_bytes(paths: list[str]) -> int:
+    import os
+
+    total = 0
+    for root in paths:
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirs, files in os.walk(
+            root, onerror=lambda e: None
+        ):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+                except OSError:
+                    pass
+    return total
+
+
+def _spark_scratch_dirs(spark: SparkSession) -> list[str]:
+    """The live executors' shuffle/spill directories (local mode)."""
+    try:
+        jdirs = (
+            spark.sparkContext._jvm.org.apache.spark.SparkEnv.get()
+            .blockManager().diskBlockManager().localDirs()
+        )
+        return [d.getAbsolutePath() for d in jdirs]
+    except Exception:  # internals moved — auto-sizing degrades gracefully
+        return []
+
+
+def _run_job_with_peak(run, watch: list[str]) -> int:
+    """Execute ``run()`` while sampling ``watch`` dirs; return the peak
+    GROWTH in bytes over the job's own starting footprint (so a prior
+    job's not-yet-reclaimed shuffle files don't count twice)."""
+    import threading
+    import time
+
+    start = _du_bytes(watch)
+    state = {"done": False, "peak": start}
+
+    def sample():
+        while not state["done"]:
+            state["peak"] = max(state["peak"], _du_bytes(watch))
+            time.sleep(0.25)
+
+    t = threading.Thread(target=sample, daemon=True)
+    t.start()
+    try:
+        run()
+    finally:
+        state["done"] = True
+        t.join(timeout=5)
+    return max(0, state["peak"] - start)
+
+
 def pipe01_chunked(
     spark: SparkSession,
     sf_dir: str,
-    chunks: int = _PIPE_ORACLE_CHUNKS,
+    chunks: int | None = None,
     scratch_dir: str | None = None,
+    scratch_budget_gb: float = 40.0,
 ) -> DataFrame:
     """Sequenced exact funnel: the Spark mirror of the DuckDB staging
     oracle's doc_a-chunk INSERTs (``oracle_stage`` above).
@@ -438,26 +511,81 @@ def pipe01_chunked(
     one-shot exchange IS the right plan (distributed scratch), which is
     why the registered pipe01 keeps it.
 
+    Chunk sizing (r11 — auto by default): 16 chunks was the DuckDB
+    staging oracle's number, and r10 measured Spark's peak at 7.5 GB
+    against a 40 GB budget — ~5x headroom paid for with a full corpus
+    scan per chunk. With ``chunks=None`` the doc_a space splits into
+    ``_PIPE_SUBCHUNKS`` fixed residues; the first two jobs (1 then 2
+    subchunks) are run with a scratch-sampling thread over the
+    executors' local dirs, the two peaks fit peak(g) ~= B + g*V (B =
+    the constant b-side shingle exchange that every job pays, V = one
+    subchunk's share of the pair-aggregation spill — the term that
+    scaled 7.5 -> 40.7 GB between 16 chunks and the single plan), and
+    the remaining residues run in contiguous groups of g sized so
+    B + g*V stays under ``scratch_budget_gb`` x ``_PIPE_BUDGET_SAFETY``
+    — typically ~4-6 jobs where the fixed count paid 16. An explicit
+    ``chunks`` keeps the fixed ``doc_id % chunks`` behavior (tests pin
+    frame-equality of both modes against plain pipe01).
+
     Measured (r10, PIPE01_SF10_EXCLUSION.json, 40 GB budget): the
-    single-plan form is killed at 40.7 GB scratch 311 s in; this mode
-    COMPLETES the exact sf10 funnel in 749.5 s at 7.5 GB peak; DuckDB's
-    sequenced staging completes in 122.8 s zero-spill — the fastest
-    single-box exact path. The chunked trade is ~6x wall-clock for
-    ~5x-bounded scratch.
+    single-plan form is killed at 40.7 GB scratch 311 s in; the fixed
+    16-chunk mode COMPLETED the exact sf10 funnel in 749.5 s at 7.5 GB
+    peak; DuckDB's sequenced staging completes in 122.8 s zero-spill —
+    the fastest single-box exact path. The chunked trade is wall-clock
+    for bounded scratch; the r11 auto-sizing spends the measured
+    headroom to buy back most of the difference (see the regenerated
+    artifact).
     """
     import gc
     import tempfile
 
     docs, wcd, sh, ex = _funnel_prelude(spark, sf_dir)
     scratch = scratch_dir or tempfile.mkdtemp(prefix="pipe01_chunks_")
-    for i in range(chunks):
+
+    def write_residues(lo: int, hi: int, mod: int, first: bool) -> None:
+        """One sequenced JOB: qualifying pairs for doc_id % mod in
+        [lo, hi) — the predicate hits ``ex`` before the doc_a rename."""
+        pred = F.pmod(F.col("doc_id"), F.lit(mod))
         part = _exact_pairs(
-            ex, a_pred=F.pmod(F.col("doc_id"), F.lit(chunks)) == i
+            ex,
+            a_pred=(
+                (pred >= lo) & (pred < hi) if hi - lo > 1 else pred == lo
+            ),
         ).select("doc_a", "doc_b")
-        mode = "overwrite" if i == 0 else "append"
-        part.write.mode(mode).parquet(scratch)
+        part.write.mode("overwrite" if first else "append").parquet(scratch)
         del part
         gc.collect()  # release the chunk's shuffle for cleanup
+
+    if chunks is not None:
+        for i in range(chunks):
+            write_residues(i, i + 1, chunks, first=(i == 0))
+    else:
+        sub = _PIPE_SUBCHUNKS
+        watch = _spark_scratch_dirs(spark)
+        budget = scratch_budget_gb * _PIPE_BUDGET_SAFETY * 1024**3
+        # calibration: 1 subchunk, then 2 — two points pin B and V
+        s1 = _run_job_with_peak(
+            lambda: write_residues(0, 1, sub, first=True), watch
+        )
+        s2 = _run_job_with_peak(
+            lambda: write_residues(1, 3, sub, first=False), watch
+        )
+        v = s2 - s1
+        if not watch:
+            # scratch dirs unreachable (internals moved): fall back to
+            # the oracle's fixed granularity rather than one giant job
+            g = max(1, sub // _PIPE_ORACLE_CHUNKS)
+        elif v <= 0:
+            # no measurable growth (tiny data): everything left fits
+            g = sub - 3
+        else:
+            b = max(s1 - v, 0)
+            g = max(1, int((budget - b) // v))
+        nxt = 3
+        while nxt < sub:
+            hi = min(nxt + g, sub)
+            write_residues(nxt, hi, sub, first=False)
+            nxt = hi
     pairs = spark.read.parquet(scratch)
     return _funnel_from_pairs(spark, docs, wcd, ex, pairs)
 

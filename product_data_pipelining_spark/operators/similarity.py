@@ -1191,18 +1191,29 @@ def sim05_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
     )
 
-    def assign_to(rows: DataFrame, cents: DataFrame) -> DataFrame:
+    def assign_to(rows: DataFrame, cents: DataFrame, rnd: int) -> DataFrame:
         cent_rows = cents.select("cluster_id", "c_emb").collect()
         # bounded by centroid_budget (<= MAX_CENTROIDS codebook rows,
         # never corpus-proportional) — the established codebook-fetch
         # pattern (sim09/_gemm_cell_ranked)
         cent_rows.sort(key=lambda r: r.cluster_id)
+        # lifecycle: keyed per Lloyd's round so repeated invocations in
+        # one context hold at most KMEANS_ITERS live codebook broadcasts
+        # — each new run unpersists its round's predecessor (the
+        # _gemm_cell_ranked swap discipline; r10 ADVICE). unpersist, not
+        # destroy: a prior invocation's returned lazy frame may still
+        # reference its broadcast, which then just re-ships on use.
+        bkey = (id(spark.sparkContext), "sim05", rnd)
+        prev = _LIVE_QUERY_BLOCK.pop(bkey, None)
+        if prev is not None:
+            prev.unpersist(blocking=False)
         c_block = spark.sparkContext.broadcast(
             (
                 [int(r.cluster_id) for r in cent_rows],
                 [list(map(float, r.c_emb)) for r in cent_rows],
             )
         )
+        _LIVE_QUERY_BLOCK[bkey] = c_block
 
         def assign(batches):
             # nested closure: pickled by value, workers don't need the
@@ -1266,8 +1277,8 @@ def sim05_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             assign, "vec_id long, cluster_id long"
         )
 
-    for _ in range(KMEANS_ITERS - 1):
-        assign = assign_to(train, cents)
+    for rnd in range(KMEANS_ITERS - 1):
+        assign = assign_to(train, cents, rnd)
         # UPDATE: order-independent per-dimension mean on the 1e-6 grid
         scaled = F.when(
             F.col("val") >= 0, F.floor(F.col("val") * 1e6 + 0.5)
@@ -1298,7 +1309,7 @@ def sim05_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["mean"],
         )
         cents = means.groupBy("cluster_id").agg(new_emb.alias("c_emb"))
-    return assign_to(v, cents)
+    return assign_to(v, cents, KMEANS_ITERS - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -2198,9 +2209,16 @@ def sim10_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     k = centroid_budget(n)
     nprobe = max(NPROBE, min(k, -(-(MMR_NPROBE_MASS * MMR_C * k) // n)))
+    # FIXED tag, not nprobe-keyed: sim10's nprobe varies with corpus
+    # size, so an nprobe-embedding key would strand the earlier SF's
+    # persisted frame forever when one session runs two SFs (r10
+    # ADVICE) — the new frame already bakes its nprobe in, and the swap
+    # must always release the prior one. Same reasoning for the
+    # broadcast tag inside _gemm_cell_ranked (the codebook content is
+    # nprobe-independent).
     ranked = swap_live_persisted(
-        (id(spark.sparkContext), f"sim10_ranked_{nprobe}"),
-        _gemm_cell_ranked(spark, sf_dir, nprobe, f"sim10cent{nprobe}"),
+        (id(spark.sparkContext), "sim10_ranked"),
+        _gemm_cell_ranked(spark, sf_dir, nprobe, "sim10cent"),
     )
     v = emb.select("vec_id", "embedding")
     # members: one cell per corpus vector; probes: the bounded query

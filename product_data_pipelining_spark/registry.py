@@ -112,9 +112,12 @@ _DRIVER_PRIORITY = [
     "s02_s09_flatten_locations",
     "s07a_flatten_products",
     "s07b_flatten_prices",
-    "s10_sql_catalog_query",
-    # the reference's dbt DAG: staging → dims/facts → marts (S4, S11)
-    "m01_stg_locations",
+    # s10 rotated OUT in r11 (driver-green since r1; see the r11
+    # rotation note below) — its row goes to w02 (window frames)
+    # the reference's dbt DAG: staging → dims/facts → marts (S4, S11).
+    # m01 rotated OUT in r11 (multi-round green since r2; S4/P1/P2 keep
+    # in-window proxies via m02/m03 and m01 stays value-swept locally)
+    # — its row goes to the never-driver-verified tp01 (SCD2 history).
     "m02_stg_products",
     "m03_stg_prices",
     "m05_dim_products",
@@ -124,10 +127,27 @@ _DRIVER_PRIORITY = [
     "m09_mart_price_by_category",
     # pre-agg row predicate (P11) + re-agg proxy
     "d04_state_price_summary",
+    # r11 rotation (r10 verdict ask #1): s10 / m01 / p10 / a04 OUT —
+    # each is multi-round driver-green (s10 since r1, m01 since r2,
+    # p10/a04 across the r7-r10 gates) and all four stay value-swept
+    # locally (test_oracle_parity + CORRECTNESS_SF0_1); their §2 rows
+    # keep in-window proxies (S10 via the m-chain SQL surface, P10's
+    # date predicate via d04/p-family locals, A4/O3 via m07/m09's
+    # HAVING/ORDER shapes). IN: four never-driver-verified families —
+    # w02 (distribution window frames: cume_dist/percent_rank/ntile),
+    # a16 (GROUPING SETS — the umbrella shape of the a14-a17
+    # rollup/pivot/cube family), tp01 (SCD2 history build) and cg01
+    # (cogroup reconcile — the applyInPandas cogroup surface), all
+    # oracled and value-matched in the round-10 sf0.1 sweep.
+    "w02_distribution_frames",
+    "a16_grouping_sets",
+    "tp01_scd2_history",
+    "cg01_cogroup_reconcile",
     # named projection / filter operators (P4-P10; P4/P5, P6 and P7
     # are driver-proxied by m03/m03/m02 — their named twins run in the
-    # local oracle-parity sweep, freeing rows for bench headliners)
-    "p10_date_range_predicate",
+    # local oracle-parity sweep, freeing rows for bench headliners).
+    # p10 rotated OUT in r11 (see the rotation note above) — its row
+    # goes to a16 (grouping sets)
     # joins (J1-J3). j01 rotated OUT this round: J1's LEFT star-join
     # shape keeps its driver-visible row via m06 (fact_prices = the
     # same LEFT equi join x2, in-window, listed as J1 co-evidence in
@@ -150,7 +170,8 @@ _DRIVER_PRIORITY = [
     # aggregations (A1-A13; A1/A2/A9/A10 driver-proxied by
     # m07/m08/d04/m05)
     "a03_percentile_summary",
-    "a04_group_having_order",
+    # a04 rotated OUT in r11 (see the rotation note above; A4/O3 keep
+    # m07/m09's HAVING/ORDER proxies in-window) — its row goes to cg01
     # a07 (two-key frequency) / a08 (global minmax) / set01 (union) /
     # o02 (limit-offset) rotated OUT this round (judge-blessed: all
     # m-proxied or trivial, still value-swept locally) to give the

@@ -105,6 +105,7 @@ def spark_leg(
                     out = pipe01_chunked(
                         spark, sf_dir,
                         scratch_dir=os.path.join(scratch, "pairs"),
+                        scratch_budget_gb=budget_bytes / GB,
                     )
                     out.write.format("noop").mode("overwrite").save()
                 else:
@@ -272,13 +273,15 @@ def main() -> None:
             "40.7 GB scratch, 311 s in — Spark's shuffle MATERIALIZES "
             "the pair exchange; on a cluster the same exchange spreads "
             "over N nodes' scratch, which is why the registered query "
-            "keeps the one-shot plan). The r10 spark_chunked leg "
-            "CLOSES the r9 exclusion: curation.pipe01_chunked mirrors "
-            "the DuckDB staging oracle's 16-statement sequencing as 16 "
-            "sequential Spark JOBS (each writes only its qualifying "
-            "pairs; the ContextCleaner reclaims each chunk's shuffle "
-            "before the next), completing the exact funnel within the "
-            "budget — peak scratch ~1/5 of the single-plan kill point. "
+            "keeps the one-shot plan). The spark_chunked leg CLOSES "
+            "the r9 exclusion: curation.pipe01_chunked sequences the "
+            "doc_a residue space as sequential Spark JOBS (each writes "
+            "only its qualifying pairs; the ContextCleaner reclaims "
+            "each chunk's shuffle before the next), and since r11 "
+            "AUTO-SIZES the chunk groups from two measured calibration "
+            "jobs (peak ~= B + g*V) so the projected peak stays at "
+            "half the budget instead of the fixed 16-way split's ~5x "
+            "headroom, completing the exact funnel within the budget. "
             "DuckDB's sequenced staging remains the fastest SINGLE-BOX "
             "exact path (zero spill); the chunked Spark mode trades "
             "~6x wall-clock for bounded scratch, and pipe02 (banded "

@@ -16,6 +16,11 @@ at or under that factor in wall-time is linear-or-better; sort-based
 operators (exact percentile) legitimately run at ~n log n. Each run
 also carries its own in-process interleaved DuckDB baseline, so
 ``ratio_vs_duckdb`` stays contention-robust at every scale factor.
+Rows whose bench-tail ratio exceeds 2x the baseline get a fresh-JVM
+``isolated_adjudication`` block embedded in the artifact (also
+available standalone via ``--adjudicate-only``), so the known
+heap-carryover inflation of late in-context rows is reconciled in the
+artifact itself rather than in source docstrings.
 """
 
 from __future__ import annotations
@@ -38,6 +43,78 @@ def run_bench(sf_dir: str) -> dict:
         env=env, capture_output=True, text=True, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+# Bench-tail rows above this Spark/DuckDB ratio get a fresh-JVM
+# isolated re-measurement attached to the artifact: the bench context
+# (one JVM, 30 queries back-to-back, warm caches) is the serving
+# posture but its tail rows carry JVM heap-state carryover that
+# isolated A/Bs have repeatedly disproved (r10: sim02 55.5 s tail vs
+# 25.3 s isolated; a03 14.76 vs 8.43). The adjudication used to live
+# in source docstrings only; the artifact a reader opens first should
+# carry both numbers (r10 verdict ask #3).
+ADJUDICATE_RATIO = 2.0
+
+
+def attach_isolated_adjudication(artifact: dict, big_key: str,
+                                 big_dir: str) -> None:
+    """Re-measure every >2x bench-tail row in its own fresh JVM (via
+    scripts/isolated_bench.py, one JVM + one DuckDB per query) and
+    embed the adjudicated numbers beside the bench-tail ones."""
+    big = artifact.get(big_key) or {}
+    duck = big.get("duckdb_queries") or {}
+    over = sorted(
+        name for name, t in (big.get("queries") or {}).items()
+        if duck.get(name) and t / duck[name] > ADJUDICATE_RATIO
+    )
+    block: dict = {
+        "threshold_ratio": ADJUDICATE_RATIO,
+        "methodology": (
+            "bench_tail = this artifact's in-context row (one JVM runs "
+            "the whole headline set; warm caches + heap carryover); "
+            "isolated = scripts/isolated_bench.py (one fresh JVM + "
+            "fresh DuckDB per query, same repeats/median rules). Rows "
+            f"over {ADJUDICATE_RATIO}x vs the interleaved DuckDB "
+            "baseline are re-measured isolated; judge the isolated "
+            "ratio, the tail row keeps the serving-context number."
+        ),
+        "rows": {},
+    }
+    if over:
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=big_dir)
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "scripts" / "isolated_bench.py"),
+             "--queries", ",".join(over)],
+            env=env, capture_output=True, text=True,
+        )
+        lines = [ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            block["error"] = (
+                f"isolated_bench failed rc={proc.returncode}: "
+                f"{proc.stderr[-500:]}"
+            )
+            artifact["isolated_adjudication"] = block
+            return
+        iso = json.loads(lines[-1])
+        for name in over:
+            i_s = iso["queries"].get(name)
+            i_d = iso.get("duckdb_queries", {}).get(name)
+            block["rows"][name] = {
+                "bench_tail_sec": big["queries"][name],
+                "bench_tail_ratio": round(
+                    big["queries"][name] / duck[name], 2
+                ),
+                "isolated_sec": i_s,
+                "isolated_rel_spread": iso.get(
+                    "queries_rel_spread", {}
+                ).get(name),
+                "isolated_duckdb_sec": i_d,
+                "isolated_ratio": (
+                    round(i_s / i_d, 2) if i_s and i_d else None
+                ),
+            }
+    artifact["isolated_adjudication"] = block
 
 
 # value-compare is driver-bounded (both result sets come to pandas);
@@ -235,6 +312,11 @@ def main() -> None:
                          "oracle staging + at-scale value check and "
                          "merge correctness_at_scale into the existing "
                          "BENCH_SF{N}.json")
+    ap.add_argument("--adjudicate-only", action="store_true",
+                    help="skip everything else: re-measure the existing "
+                         "artifact's >2x bench-tail rows in fresh JVMs "
+                         "and merge isolated_adjudication into "
+                         "BENCH_SF{N}.json")
     args = ap.parse_args()
 
     sf_label = f"{args.sf:g}".replace(".", "_")
@@ -242,6 +324,20 @@ def main() -> None:
 
     if args.oracle_stage:
         stage_oracles(big_dir, args.oracle_stage)
+        return
+
+    if args.adjudicate_only:
+        out_path = REPO / f"BENCH_SF{sf_label}.json"
+        artifact = json.loads(out_path.read_text())
+        attach_isolated_adjudication(artifact, f"sf{sf_label}", big_dir)
+        out_path.write_text(json.dumps(artifact, indent=2) + "\n")
+        print(json.dumps({
+            "artifact": out_path.name,
+            "isolated_adjudication": {
+                n: r.get("isolated_ratio")
+                for n, r in artifact["isolated_adjudication"]["rows"].items()
+            },
+        }))
         return
 
     if args.check_only:
@@ -356,6 +452,11 @@ def main() -> None:
         artifact["correctness_at_scale"] = run_correctness(big_dir, stage_dir)
         artifact.pop("correctness_at_scale_prior_run", None)
         out_path.write_text(json.dumps(artifact, indent=2) + "\n")
+    # fresh-JVM adjudication of any >2x bench-tail row, embedded so the
+    # artifact is self-contained (runs AFTER the bench/check children
+    # have exited — each isolated leg gets the machine to itself)
+    attach_isolated_adjudication(artifact, f"sf{sf_label}", big_dir)
+    out_path.write_text(json.dumps(artifact, indent=2) + "\n")
     summary = {"artifact": out_path.name,
                "worst_scaling": artifact["worst_scaling"],
                "big_ratio_vs_duckdb": big["ratio_vs_duckdb"],

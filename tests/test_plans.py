@@ -1435,10 +1435,71 @@ def test_asof_join_null_value_at_matched_row(spark):
     assert got.loc[got["ts"] == 5, "val"].iloc[0] == 100.0
 
 
+def test_a03_fused_shape_frozen(spark, sf_dir):
+    """a03's ACCEPTED-GAP closure (r10), made load-bearing: the fused
+    histogram-grid form was measured against both prescribed attacks
+    (split-distinct subtree, bucket-fold) and won — the residual ~2.8x
+    isolated at sf10 is the exact-distinct exchange tax, accepted with
+    the dd13 crossover argument (relational.py a03 docstring; README
+    performance table). This pin re-opens the case automatically if the
+    shape regresses:
+
+    - exactly TWO direct lineitem scans (histogram + candidate passes;
+      pass 1's scan lives inside the persisted group frame) — a third
+      means someone re-introduced the split-distinct extra fact pass;
+    - the persisted |groups|-bounded frame is present (InMemoryTableScan
+      references) — losing it re-derives the distinct-fused aggregate
+      four times (the r9 seven-scan plan);
+    - no NEW shuffle exchange beyond the five of the frozen plan
+      (pass-1 distinct agg inside the cached frame is not in this tree;
+      here: bounded histogram/candidate exchanges + window sorts).
+
+    Asserted with AQE off so every exchange is visible at compile time.
+    """
+    from product_data_pipelining_spark.plans.inspect import _jwalk
+
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES["a03_percentile_summary"].fn(spark, sf_dir)
+        root = df._jdf.queryExecution().executedPlan()
+        li_scans, imts, shuffles = 0, 0, 0
+        for n in _jwalk(root):
+            nm = n.getClass().getSimpleName()
+            if nm == "FileSourceScanExec":
+                paths = n.relation().location().rootPaths()
+                for i in range(paths.size()):
+                    if "lineitem" in str(paths.apply(i)):
+                        li_scans += 1
+            elif nm == "InMemoryTableScanExec":
+                imts += 1
+            elif nm == "ShuffleExchangeExec":
+                shuffles += 1
+        assert li_scans == 2, f"fact passes regressed: {li_scans} scans"
+        assert imts >= 1, "persisted group frame missing"
+        assert shuffles <= 5, f"new fact exchange appeared: {shuffles}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+
+
+def test_sim05_assigns_every_vector_exactly_once(spark, sf_dir):
+    """sim05's assignment-kernel output row count, pinned (r10 verdict
+    ask #5): every corpus vector gets exactly ONE cluster row — a
+    count a noisy timing spread can never hide a regression behind."""
+    from product_data_pipelining_spark.io import load_table
+
+    out = QUERIES["sim05_kmeans_assign"].fn(spark, sf_dir)
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert out.count() == n_vecs
+    assert out.select("vec_id").distinct().count() == n_vecs
+
+
 def test_pipe01_chunked_matches_single_plan(spark, tmp_path):
     """pipe01_chunked (the sequenced doc_a-chunk exact mode mirroring
     the DuckDB staging oracle) must produce the IDENTICAL frame as the
-    registered single-plan pipe01 at both gate SFs."""
+    registered single-plan pipe01 at both gate SFs — in the fixed-chunk
+    mode AND the budget-auto-sized mode (chunks=None), which partitions
+    the same doc_a residue space into measured-size groups."""
     from product_data_pipelining_spark.operators.curation import (
         pipe01_chunked,
     )
@@ -1459,3 +1520,13 @@ def test_pipe01_chunked_matches_single_plan(spark, tmp_path):
             .collect()
         )
         assert [tuple(r) for r in chunked] == [tuple(r) for r in plain], sfd
+        auto = (
+            pipe01_chunked(
+                spark, sfd,
+                scratch_dir=str(tmp_path / f"a{i}"),
+                scratch_budget_gb=1.0,
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert [tuple(r) for r in auto] == [tuple(r) for r in plain], sfd
