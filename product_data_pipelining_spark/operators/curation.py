@@ -424,6 +424,16 @@ _PIPE_SUBCHUNKS = 48
 # peak: headroom for the linear model's error and for the qualifying-
 # pair parquet accumulating under the same budget
 _PIPE_BUDGET_SAFETY = 0.5
+# per-job footprint CAP (GB) below the budget target: the r11 sf10
+# series measured wall-clock to be pair-aggregation-bound, not
+# scan-bound — budget-maxed groups (20 GB target) completed in 904 s
+# (25.3 GB peak) unbucketed / 939 s (27.0 GB) bucketed because a
+# spilling hash aggregate's merge I/O grows superlinearly with group
+# size, while ~5 GB jobs over the bucketed shingle table ran 709 s
+# (vs the r10 fixed-16 mode's 749.5 s at 7.5 GB). The budget remains
+# the hard ceiling; this cap keeps each job at the measured
+# spill-optimal scale when the budget would allow far coarser groups.
+_PIPE_JOB_SCRATCH_TARGET_GB = 5.0
 
 
 def _du_bytes(paths: list[str]) -> int:
@@ -513,17 +523,29 @@ def pipe01_chunked(
 
     Chunk sizing (r11 — auto by default): 16 chunks was the DuckDB
     staging oracle's number, and r10 measured Spark's peak at 7.5 GB
-    against a 40 GB budget — ~5x headroom paid for with a full corpus
-    scan per chunk. With ``chunks=None`` the doc_a space splits into
-    ``_PIPE_SUBCHUNKS`` fixed residues; the first two jobs (1 then 2
-    subchunks) are run with a scratch-sampling thread over the
+    against a 40 GB budget — ~5x headroom paid for with a full
+    (tokenize → shingle → explode → exchange) b-side re-derivation per
+    chunk. The auto mode removes both inefficiencies: (1) the exploded
+    shingle table is written ONCE as a bucketed table on the join key
+    ``s`` (``io.write_bucketed``; one file per bucket so sort-merge
+    reuses the sortBy order), after which every chunk job joins
+    bucket-aligned splits with zero s-exchange; (2) the doc_a space
+    splits into ``_PIPE_SUBCHUNKS`` fixed residues, the first two jobs
+    (1 then 2 subchunks) run under a scratch-sampling thread over the
     executors' local dirs, the two peaks fit peak(g) ~= B + g*V (B =
-    the constant b-side shingle exchange that every job pays, V = one
-    subchunk's share of the pair-aggregation spill — the term that
-    scaled 7.5 -> 40.7 GB between 16 chunks and the single plan), and
-    the remaining residues run in contiguous groups of g sized so
-    B + g*V stays under ``scratch_budget_gb`` x ``_PIPE_BUDGET_SAFETY``
-    — typically ~4-6 jobs where the fixed count paid 16. An explicit
+    constant residual, V = one subchunk's share of the pair-aggregation
+    spill — the term that scaled 7.5 -> 40.7 GB between 16 chunks and
+    the single plan), and the remaining residues run in contiguous
+    groups of g sized so B + g*V stays under min(``scratch_budget_gb``
+    x ``_PIPE_BUDGET_SAFETY``, ``_PIPE_JOB_SCRATCH_TARGET_GB``). The
+    cap exists because the r10 verdict's "coarser chunks should
+    roughly halve the wall-clock" hypothesis was MEASURED FALSE at
+    sf10: the funnel is pair-aggregation-bound, a spilling hash
+    aggregate's merge I/O grows superlinearly with group size, and
+    budget-maxed 20 GB-target groups ran 904 s (unbucketed) / 939 s
+    (bucketed) where 5 GB-target groups over the bucketed table ran
+    709 s (the r10 fixed-16 mode: 749.5 s) — the full series is in
+    PIPE01_SF10_EXCLUSION.json. An explicit
     ``chunks`` keeps the fixed ``doc_id % chunks`` behavior (tests pin
     frame-equality of both modes against plain pipe01).
 
@@ -542,12 +564,14 @@ def pipe01_chunked(
     docs, wcd, sh, ex = _funnel_prelude(spark, sf_dir)
     scratch = scratch_dir or tempfile.mkdtemp(prefix="pipe01_chunks_")
 
-    def write_residues(lo: int, hi: int, mod: int, first: bool) -> None:
+    def write_residues(
+        src: DataFrame, lo: int, hi: int, mod: int, first: bool
+    ) -> None:
         """One sequenced JOB: qualifying pairs for doc_id % mod in
-        [lo, hi) — the predicate hits ``ex`` before the doc_a rename."""
+        [lo, hi) — the predicate hits ``src`` before the doc_a rename."""
         pred = F.pmod(F.col("doc_id"), F.lit(mod))
         part = _exact_pairs(
-            ex,
+            src,
             a_pred=(
                 (pred >= lo) & (pred < hi) if hi - lo > 1 else pred == lo
             ),
@@ -558,17 +582,60 @@ def pipe01_chunked(
 
     if chunks is not None:
         for i in range(chunks):
-            write_residues(i, i + 1, chunks, first=(i == 0))
-    else:
-        sub = _PIPE_SUBCHUNKS
+            write_residues(ex, i, i + 1, chunks, first=(i == 0))
+        pairs = spark.read.parquet(scratch)
+        return _funnel_from_pairs(spark, docs, wcd, ex, pairs)
+
+    # Auto mode (r11): bucket-materialize the exploded shingle table
+    # ONCE on the join key, then run budget-sized residue groups
+    # against it. The fixed-chunk form re-derives (tokenize → shingle
+    # → explode) and re-EXCHANGES the full b-side in every job — the
+    # measured constant term (~5 GB shuffle + a full corpus scan per
+    # job, 16x over at sf10). Writing ex bucketed on ``s`` pays that
+    # shuffle exactly once; every chunk job then joins bucket-aligned
+    # splits with ZERO s-exchange (a-side residue filter is just a
+    # read-time predicate) and pays only its own pair-aggregation
+    # exchange — the term the scratch budget actually bounds. The
+    # bucket directory is dropped after the pair stage; the funnel
+    # tail keeps the lazy ``ex`` (contamination scan, one pass).
+    import hashlib
+
+    from ..io import write_bucketed
+
+    sub = _PIPE_SUBCHUNKS
+    db = "pipe01_bkt_" + hashlib.md5(scratch.encode()).hexdigest()[:8]
+    tbl = f"{db}.ex_b"
+    # SIBLING of the pairs directory, never nested inside it — the
+    # pairs-parquet read below lists scratch recursively and must not
+    # see bucket files (dropped before that read runs, which would
+    # leave a stale listing)
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {db} "
+        f"LOCATION '{scratch.rstrip('/')}_bkt_db'"
+    )
+    try:
+        nb = max(8, spark.sparkContext.defaultParallelism)
+        # repartition on the bucket key first: the writer then emits
+        # one file per bucket, letting sort-merge reuse the sortBy order
+        write_bucketed(
+            ex.repartition(nb, F.col("s")), tbl, ("s",), nb, sort_by=("s",)
+        )
+        exb = spark.table(tbl)
         watch = _spark_scratch_dirs(spark)
-        budget = scratch_budget_gb * _PIPE_BUDGET_SAFETY * 1024**3
-        # calibration: 1 subchunk, then 2 — two points pin B and V
+        budget = (
+            min(
+                scratch_budget_gb * _PIPE_BUDGET_SAFETY,
+                _PIPE_JOB_SCRATCH_TARGET_GB,
+            )
+            * 1024**3
+        )
+        # calibration: 1 subchunk, then 2 — two points pin the constant
+        # term B (residual) and the per-subchunk spill V
         s1 = _run_job_with_peak(
-            lambda: write_residues(0, 1, sub, first=True), watch
+            lambda: write_residues(exb, 0, 1, sub, first=True), watch
         )
         s2 = _run_job_with_peak(
-            lambda: write_residues(1, 3, sub, first=False), watch
+            lambda: write_residues(exb, 1, 3, sub, first=False), watch
         )
         v = s2 - s1
         if not watch:
@@ -584,8 +651,14 @@ def pipe01_chunked(
         nxt = 3
         while nxt < sub:
             hi = min(nxt + g, sub)
-            write_residues(nxt, hi, sub, first=False)
+            write_residues(exb, nxt, hi, sub, first=False)
             nxt = hi
+    finally:
+        # the pair parquet at the scratch ROOT is already materialized
+        # (every chunk job was an eager write), so the bucket files can
+        # go before the lazy funnel tail is returned
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
     pairs = spark.read.parquet(scratch)
     return _funnel_from_pairs(spark, docs, wcd, ex, pairs)
 

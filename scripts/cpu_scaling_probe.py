@@ -40,7 +40,9 @@ REPO = Path(__file__).resolve().parents[1]
 FLOOR_SEC = 0.5
 
 
-def run_bench(sf_dir: str, cpus: int, repeats: int) -> dict:
+def run_bench(
+    sf_dir: str, cpus: int, repeats: int, queries: str | None = None
+) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
@@ -48,6 +50,8 @@ def run_bench(sf_dir: str, cpus: int, repeats: int) -> dict:
         SPARK_GRAFT_SKIP_DUCKDB="1",
         SPARK_GRAFT_REPEATS=str(repeats),
     )
+    if queries:
+        env["SPARK_GRAFT_ONLY"] = queries
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=env, capture_output=True, text=True, check=True,
@@ -65,6 +69,12 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=5,
                     help="bench repeats per query (median taken); big-SF "
                          "multi-leg runs use 3 to fit one session")
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated headline subset (default: all) "
+                         "— for supplementary legs at a bigger SF where "
+                         "specific queries outgrow the fixed floor")
+    ap.add_argument("--out", default="BENCH_CPUSCALE.json",
+                    help="artifact filename at the repo root")
     args = ap.parse_args()
 
     cores = [int(c) for c in args.cores.split(",")]
@@ -76,7 +86,7 @@ def main() -> None:
 
     runs: dict[str, dict] = {}
     for n in cores:
-        runs[str(n)] = run_bench(args.sf_dir, n, args.repeats)
+        runs[str(n)] = run_bench(args.sf_dir, n, args.repeats, args.queries)
         print(f"# cores={n}: total {runs[str(n)]['value']}s",
               file=sys.stderr)
 
@@ -126,7 +136,7 @@ def main() -> None:
             "one machine; judge relative speedups, not absolute seconds."
         ),
     }
-    out_path = REPO / "BENCH_CPUSCALE.json"
+    out_path = REPO / args.out
     out_path.write_text(json.dumps(artifact, indent=2) + "\n")
     print(json.dumps({
         "artifact": out_path.name,

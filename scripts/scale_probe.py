@@ -76,7 +76,12 @@ def attach_isolated_adjudication(artifact: dict, big_key: str,
             "fresh DuckDB per query, same repeats/median rules). Rows "
             f"over {ADJUDICATE_RATIO}x vs the interleaved DuckDB "
             "baseline are re-measured isolated; judge the isolated "
-            "ratio, the tail row keeps the serving-context number."
+            "ratio, the tail row keeps the serving-context number. "
+            "For SUB-SECOND rows the ratio is the fixed per-job floor "
+            "in BOTH contexts (isolated adds fresh-cache cost while "
+            "DuckDB stays at ~10-40 ms) — FLOOR_PROBE.json is the "
+            "evidence for those; the adjudication matters for the "
+            "multi-second rows, where it removes heap carryover."
         ),
         "rows": {},
     }
