@@ -222,3 +222,18 @@ def test_bnlj_allowlist_entries_still_registered():
     exemption rather than leave a stale hole for a future query name."""
     assert BNLJ_ALLOWED <= set(QUERIES), BNLJ_ALLOWED - set(QUERIES)
     assert ARROW_ALLOWED <= set(QUERIES), ARROW_ALLOWED - set(QUERIES)
+
+
+def test_driver_window_is_exactly_fifty_and_oracled():
+    """The external correctness gate value-checks the FIRST 50 registry
+    entries — the curated _DRIVER_PRIORITY prefix. Pin the contract: the
+    window is exactly 50, every member is registered, and every member
+    carries an oracle (a rows-only row in the gate would silently
+    downgrade a driver-verified family to a weaker check)."""
+    from product_data_pipelining_spark.registry import _DRIVER_PRIORITY
+
+    assert len(_DRIVER_PRIORITY) == 50
+    names = list(QUERIES)
+    assert names[:50] == _DRIVER_PRIORITY
+    rows_only = [n for n in _DRIVER_PRIORITY if QUERIES[n].oracle is None]
+    assert not rows_only, rows_only
