@@ -111,7 +111,9 @@ _DRIVER_PRIORITY = [
     # S9 first-seen dedup is driver-proxied by s02_s09 below
     "s02_s09_flatten_locations",
     "s07a_flatten_products",
-    "s07b_flatten_prices",
+    # s07b rotated OUT in r11 wave 2 (driver-green r1-r10; S7 keeps
+    # s07a's named row, S8's null-gating keeps the m03 proxy) — its
+    # row goes to w03 (RANGE frames)
     # s10 rotated OUT in r11 (driver-green since r1; see the r11
     # rotation note below) — its row goes to w02 (window frames)
     # the reference's dbt DAG: staging → dims/facts → marts (S4, S11).
@@ -179,17 +181,19 @@ _DRIVER_PRIORITY = [
     # tx14 (DSIR), a23 (count-min sketch), smp09 (mixture planner)
     "a11_share_of_group_window",
     "a12_a13_median_by_group",
-    # ev08 / a23 / smp01 rotated OUT this round (r9): each carries
-    # driver-verified rows from the r7 AND r8 gates and stays in the
-    # local oracle-parity sweep at the driver's own SF (sf0.01) plus
-    # CORRECTNESS_SF0_1; smp09 keeps the sampling family's in-window
-    # row. Their rows go to the never-driver-verified custom-operator
-    # extensions j05 (as-of join), j06 (range join) and ev09 (Markov
-    # transition matrix) — all oracled and value-matched in the
-    # round-9 sf0.1 sweep.
-    "j05_asof_join",
-    "j06_range_join",
-    "ev09_markov_transitions",
+    # ev08 / a23 / smp01 rotated OUT in r9 (each with r7+r8 gate rows)
+    # for j05/j06/ev09, which then went green in BOTH the r9 and r10
+    # gates. r11 wave 2 rotates j05/j06/ev09 OUT in turn (two gates
+    # each, all three stay value-swept locally; as-of/range-join
+    # semantics additionally pinned by pytest vs DuckDB's native ASOF)
+    # so the LAST never-driver-verified families get rows: w03 (RANGE
+    # window frames), a17 (CUBE — beside a16's GROUPING SETS), chk04
+    # (FULL OUTER dataset diff), smp07 (range-partitioned shuffle
+    # order). After this window the pool holds only a14/a15/chk05.
+    "w03_range_frames",
+    "a17_cube_type_status",
+    "chk04_dataset_diff",
+    "smp07_shuffle_order",
     # r10 rotation (r9 verdict ask #6): tx14 / smp09 / pr02 / tx10 OUT —
     # each carries driver-verified rows from two or more prior gates
     # (tx14/smp09 since r6, pr02/tx10 since the ADVICE-r1/r2 era) and
