@@ -52,6 +52,9 @@ from pathlib import Path
 import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
+
+from _provenance import provenance  # noqa: E402
 
 from product_data_pipelining_spark.io import TPCH_TABLES
 from product_data_pipelining_spark.registry import all_queries
@@ -331,6 +334,13 @@ def main() -> None:
                     "CTAS charges the baseline a result-storage cost "
                     "the noop sink does not pay on big-output queries"
                 ),
+                # which tree these numbers were measured on (r11
+                # verdict: artifacts mixed timing/adjudication
+                # provenances with only prose to reconcile them)
+                "provenance": provenance(),
+                # run-to-run spread bands for mechanically classifying
+                # a per-query delta as jitter vs regression (r11 ask #5)
+                "jitter_bands_artifact": "JITTER_SPREAD.json",
             }
         )
     )

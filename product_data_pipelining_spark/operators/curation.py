@@ -466,14 +466,41 @@ def _spark_scratch_dirs(spark: SparkSession) -> list[str]:
         return []
 
 
+def _await_scratch_drain(
+    watch: list[str], timeout_sec: float = 10.0
+) -> int:
+    """Poll ``watch`` until the footprint stabilizes (two consecutive
+    samples equal) or ``timeout_sec`` passes; return the settled bytes.
+
+    The prior job's shuffle files are reclaimed ASYNCHRONOUSLY by the
+    ContextCleaner: sampling the next job's start footprint while they
+    are mid-delete inflates ``start`` and the deletions then deflate
+    the observed peak growth, under-estimating V and over-sizing g
+    (ADVICE r11). Waiting for a stable baseline makes the two
+    calibration points measure only their own job's growth."""
+    import time
+
+    prev = _du_bytes(watch)
+    deadline = time.monotonic() + timeout_sec
+    while time.monotonic() < deadline:
+        time.sleep(0.5)
+        cur = _du_bytes(watch)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
 def _run_job_with_peak(run, watch: list[str]) -> int:
     """Execute ``run()`` while sampling ``watch`` dirs; return the peak
     GROWTH in bytes over the job's own starting footprint (so a prior
-    job's not-yet-reclaimed shuffle files don't count twice)."""
+    job's not-yet-reclaimed shuffle files don't count twice). The
+    footprint is sampled only after it stabilizes — see
+    :func:`_await_scratch_drain`."""
     import threading
     import time
 
-    start = _du_bytes(watch)
+    start = _await_scratch_drain(watch)
     state = {"done": False, "peak": start}
 
     def sample():
@@ -608,7 +635,13 @@ def pipe01_chunked(
     # SIBLING of the pairs directory, never nested inside it — the
     # pairs-parquet read below lists scratch recursively and must not
     # see bucket files (dropped before that read runs, which would
-    # leave a stale listing)
+    # leave a stale listing). scratch_dir is public API: a quote in
+    # the caller's path would otherwise break out of the single-quoted
+    # LOCATION literal (ADVICE r11).
+    if "'" in scratch or "\\" in scratch:
+        raise ValueError(
+            f"scratch_dir must not contain quotes/backslashes: {scratch!r}"
+        )
     spark.sql(
         f"CREATE DATABASE IF NOT EXISTS {db} "
         f"LOCATION '{scratch.rstrip('/')}_bkt_db'"
@@ -638,13 +671,23 @@ def pipe01_chunked(
             lambda: write_residues(exb, 1, 3, sub, first=False), watch
         )
         v = s2 - s1
+        # "both jobs' growth was well under the budget" is the only
+        # evidence that justifies one giant remaining job; a large s1
+        # with v <= 0 is a DEGENERATE calibration (e.g. job 1's shuffle
+        # files were reclaimed mid-job-2, deflating s2), not proof of
+        # tiny data — the giant job would approximate the single-plan
+        # shape measured killed at 40.7 GB (ADVICE r11, medium).
+        tiny = max(s1, s2) < 0.05 * budget
         if not watch:
             # scratch dirs unreachable (internals moved): fall back to
             # the oracle's fixed granularity rather than one giant job
             g = max(1, sub // _PIPE_ORACLE_CHUNKS)
         elif v <= 0:
-            # no measurable growth (tiny data): everything left fits
-            g = sub - 3
+            # no measurable growth AND both absolute peaks near zero:
+            # everything left fits in one job. Otherwise the
+            # calibration is degenerate — take the conservative fixed
+            # granularity, same as the unreachable-scratch branch.
+            g = sub - 3 if tiny else max(1, sub // _PIPE_ORACLE_CHUNKS)
         else:
             b = max(s1 - v, 0)
             g = max(1, int((budget - b) // v))

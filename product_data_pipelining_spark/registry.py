@@ -122,13 +122,25 @@ _DRIVER_PRIORITY = [
     # — its row goes to the never-driver-verified tp01 (SCD2 history).
     "m02_stg_products",
     "m03_stg_prices",
-    "m05_dim_products",
+    # m05 rotated OUT in r12 (driver-green r1-r11; P9's drop/rename
+    # projection and A10's DISTINCT keep their named local twins m04 /
+    # a10 in the value sweep, and the dim->fact DAG stays in-window via
+    # m06) — its row goes to a15 (pivot)
     "m06_fact_prices",
     "m07_mart_category_distribution",
     "m08_mart_location_sales",
     "m09_mart_price_by_category",
-    # pre-agg row predicate (P11) + re-agg proxy
-    "d04_state_price_summary",
+    # d04 rotated OUT in r12 (driver-green r7-r11; P11's pre-agg row
+    # predicate and the A9 re-agg proxy stay value-swept locally via
+    # d04/a09, and the date-predicate surface keeps m03's TRY_CAST row
+    # in-window) — its row goes to a14 (rollup)
+    # r12 rotation (r11 verdict ask #1 — COMPLETES the program): the
+    # last three never-driver-verified queries get rows. After this
+    # window every registered family has at least one driver-gate row
+    # in its history; the never-driver-verified pool is EMPTY.
+    "a14_rollup_flag_status",
+    "a15_pivot_status_counts",
+    "chk05_distribution_drift",
     # r11 rotation (r10 verdict ask #1): s10 / m01 / p10 / a04 OUT —
     # each is multi-round driver-green (s10 since r1, m01 since r2,
     # p10/a04 across the r7-r10 gates) and all four stay value-swept
@@ -180,7 +192,10 @@ _DRIVER_PRIORITY = [
     # round-6 operators driver-visible rows: ev08 (rate anomaly),
     # tx14 (DSIR), a23 (count-min sketch), smp09 (mixture planner)
     "a11_share_of_group_window",
-    "a12_a13_median_by_group",
+    # a12_a13 rotated OUT in r12 (driver-green r7-r11; A12/A13's
+    # median shapes keep local rows d03/d09 in the value sweep and the
+    # duck_round-sensitive aggregate surface keeps a03 in-window) —
+    # its row goes to chk05 (PSI drift)
     # ev08 / a23 / smp01 rotated OUT in r9 (each with r7+r8 gate rows)
     # for j05/j06/ev09, which then went green in BOTH the r9 and r10
     # gates. r11 wave 2 rotates j05/j06/ev09 OUT in turn (two gates

@@ -34,6 +34,9 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from _provenance import provenance  # noqa: E402
+
 # below this Spark time at the SMALLEST core count a query is fixed-
 # overhead-bound (scheduler + plan cost dominates compute) and its
 # "speedup" is noise; it is recorded but kept out of the aggregate
@@ -137,6 +140,7 @@ def main() -> None:
         ),
     }
     out_path = REPO / args.out
+    artifact["provenance"] = provenance()
     out_path.write_text(json.dumps(artifact, indent=2) + "\n")
     print(json.dumps({
         "artifact": out_path.name,

@@ -38,6 +38,9 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from _provenance import provenance  # noqa: E402
+
 DEFAULT_QUERIES = [
     "a11_share_of_group_window",
     "ev05_funnel_conversion",
@@ -146,6 +149,7 @@ def main() -> None:
             result["flatness_duckdb"][name] = round(
                 max(dmeds) / min(dmeds), 2
             )
+    result["provenance"] = provenance()
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
         f.write("\n")

@@ -29,6 +29,9 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from _provenance import provenance  # noqa: E402
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -86,6 +89,7 @@ def main() -> None:
     merged["ratio_vs_duckdb"] = (
         round(spark_oracled / duck_total, 3) if duck_total > 0 else None
     )
+    merged["provenance"] = provenance()
     line = json.dumps(merged)
     if args.out:
         Path(args.out).write_text(line + "\n")

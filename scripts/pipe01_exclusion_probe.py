@@ -33,6 +33,9 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from _provenance import provenance  # noqa: E402
 sys.path.insert(0, str(REPO))
 
 GB = 1024**3
@@ -300,6 +303,7 @@ def main() -> None:
         ),
     }
     out = REPO / "PIPE01_SF10_EXCLUSION.json"
+    artifact["provenance"] = provenance()
     out.write_text(json.dumps(artifact, indent=2) + "\n")
     print(json.dumps({"artifact": out.name, **{
         k: v["outcome"] for k, v in results.items()}}))

@@ -35,6 +35,18 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 TESTDATA_SF01 = "/root/testdata/sf0.1"
 
+sys.path.insert(0, str(REPO / "scripts"))
+from _provenance import provenance  # noqa: E402
+
+
+def write_artifact(out_path: Path, artifact: dict) -> None:
+    """Stamp commit provenance at WRITE time, then write. A probe that
+    rewrites its artifact in stages (bench → correctness → adjudication)
+    refreshes the stamp each time, so the artifact always names the
+    tree its NEWEST block was measured on (r11 verdict ask #2)."""
+    artifact["provenance"] = provenance()
+    out_path.write_text(json.dumps(artifact, indent=2) + "\n")
+
 
 def run_bench(sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
@@ -67,8 +79,18 @@ def attach_isolated_adjudication(artifact: dict, big_key: str,
         name for name, t in (big.get("queries") or {}).items()
         if duck.get(name) and t / duck[name] > ADJUDICATE_RATIO
     )
+    # Rows with no (or zero) DuckDB baseline can't be ratio-screened;
+    # name them so an empty `rows` dict reads as "nothing exceeded the
+    # threshold among the BASELINED rows", not as a clean pass over
+    # everything (ADVICE r11). The rows-only queries land here by
+    # design (no oracle); a missing duckdb_queries key entirely means
+    # the bench leg skipped the baseline.
     block: dict = {
         "threshold_ratio": ADJUDICATE_RATIO,
+        "skipped_no_baseline": sorted(
+            name for name in (big.get("queries") or {})
+            if not duck.get(name)
+        ),
         "methodology": (
             "bench_tail = this artifact's in-context row (one JVM runs "
             "the whole headline set; warm caches + heap carryover); "
@@ -335,7 +357,7 @@ def main() -> None:
         out_path = REPO / f"BENCH_SF{sf_label}.json"
         artifact = json.loads(out_path.read_text())
         attach_isolated_adjudication(artifact, f"sf{sf_label}", big_dir)
-        out_path.write_text(json.dumps(artifact, indent=2) + "\n")
+        write_artifact(out_path, artifact)
         print(json.dumps({
             "artifact": out_path.name,
             "isolated_adjudication": {
@@ -360,7 +382,7 @@ def main() -> None:
             print(f"# oracle staging exited rc={rc}; resuming",
                   file=sys.stderr)
         artifact["correctness_at_scale"] = run_correctness(big_dir, stage_dir)
-        out_path.write_text(json.dumps(artifact, indent=2) + "\n")
+        write_artifact(out_path, artifact)
         vals = list(artifact["correctness_at_scale"].values())
         print(json.dumps({
             "artifact": out_path.name,
@@ -434,7 +456,7 @@ def main() -> None:
                 }
         except (json.JSONDecodeError, OSError):
             pass
-    out_path.write_text(json.dumps(artifact, indent=2) + "\n")
+    write_artifact(out_path, artifact)
     if not args.no_check:
         # oracle staging runs in a CHILD process while no JVM is alive
         # (the benches above were subprocesses and have exited), so
@@ -456,12 +478,12 @@ def main() -> None:
                   file=sys.stderr)
         artifact["correctness_at_scale"] = run_correctness(big_dir, stage_dir)
         artifact.pop("correctness_at_scale_prior_run", None)
-        out_path.write_text(json.dumps(artifact, indent=2) + "\n")
+        write_artifact(out_path, artifact)
     # fresh-JVM adjudication of any >2x bench-tail row, embedded so the
     # artifact is self-contained (runs AFTER the bench/check children
     # have exited — each isolated leg gets the machine to itself)
     attach_isolated_adjudication(artifact, f"sf{sf_label}", big_dir)
-    out_path.write_text(json.dumps(artifact, indent=2) + "\n")
+    write_artifact(out_path, artifact)
     summary = {"artifact": out_path.name,
                "worst_scaling": artifact["worst_scaling"],
                "big_ratio_vs_duckdb": big["ratio_vs_duckdb"],

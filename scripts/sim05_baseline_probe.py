@@ -37,6 +37,9 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from _provenance import provenance  # noqa: E402
+
 
 def duck_twin_sql() -> str:
     sys.path.insert(0, str(REPO))
@@ -172,6 +175,7 @@ def main() -> None:
         }
         print(f"# sf{sf}: spark full {s_med}s, duck 1-round {d_med}s",
               file=sys.stderr)
+    out["provenance"] = provenance()
     (REPO / "SIM05_BASELINE.json").write_text(
         json.dumps(out, indent=2) + "\n"
     )

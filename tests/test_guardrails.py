@@ -237,3 +237,25 @@ def test_driver_window_is_exactly_fifty_and_oracled():
     assert names[:50] == _DRIVER_PRIORITY
     rows_only = [n for n in _DRIVER_PRIORITY if QUERIES[n].oracle is None]
     assert not rows_only, rows_only
+
+
+def test_artifact_provenance_stamp_contract():
+    """Every probe artifact embeds scripts/_provenance.provenance() (r11
+    verdict ask #2: at-scale timing carried no commit provenance). Pin
+    the stamp's shape — a 40-hex commit, a code-paths-only dirty flag,
+    and a UTC timestamp — so artifacts stay mechanically reconcilable
+    with the tree they were measured on."""
+    import re as _re
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parents[1] / "scripts")
+    )
+    from _provenance import provenance
+
+    p = provenance()
+    assert set(p) == {"code_commit", "code_dirty", "measured_utc"}
+    assert _re.fullmatch(r"[0-9a-f]{40}", p["code_commit"])
+    assert isinstance(p["code_dirty"], bool)
+    assert p["measured_utc"].endswith("+00:00")
