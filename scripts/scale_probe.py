@@ -315,6 +315,15 @@ def run_correctness(sf_dir: str, stage_dir: str) -> dict:
             # check_error does too.
             results[name] = f"check_error:{type(exc).__name__}"
     con.close()
+    # Tear the check session's JVM down before returning: the full-run
+    # path goes straight into attach_isolated_adjudication, whose
+    # "fresh JVM per query" legs otherwise share the box with THIS
+    # session's probe-SF heap and cached tables. The r12 full-run at
+    # sf10 measured a03 isolated at 28.5 s beside the live check JVM
+    # where the standalone --adjudicate-only leg (no JVM alive)
+    # measures ~8 s — the adjudication exists to REMOVE heap/carryover
+    # effects, so it must never run beside one.
+    spark.stop()
     return results
 
 
