@@ -21,6 +21,8 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+from _provenance import provenance  # noqa: E402
 
 # results larger than this skip the pandas value compare (driver-memory
 # bound) and record a distributed row-count check instead
@@ -92,6 +94,7 @@ def main() -> None:
         "wall_sec": round(time.time() - t_start, 1),
         "results": results,
     }
+    summary["provenance"] = provenance()
     label = args.sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     out = Path(args.out) if args.out else REPO / f"CORRECTNESS_{label.upper()}.json"
     out.write_text(json.dumps(summary, indent=1) + "\n")
