@@ -139,13 +139,19 @@ def _cached(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> DataF
         n_parts = int(str(spark.conf.get("spark.sql.shuffle.partitions")))
     except (TypeError, ValueError):
         n_parts = sc.defaultParallelism
-    if size >= _CACHE_SPREAD_BYTES and (
-        cluster or df.rdd.getNumPartitions() < n_parts
-    ):
-        if cluster:
-            df = df.repartition(n_parts, *cluster)
-        else:
-            df = df.repartition(n_parts)
+    # Key-clustering is NOT size-gated: its payoff is removing the
+    # per-query Exchange every key-partitioned consumer (windows,
+    # groupBys, joins on the cluster key) would otherwise pay — a plan-
+    # structure win independent of table size. The size floor only
+    # gates the keyless round-robin spread, whose sole benefit is
+    # parallelism (r12: events.parquet at sf0.1 sat 2.5% under the
+    # floor, so every sessionize/upsert window ran its first stage on
+    # one core and re-shuffled what the serving cache should have
+    # pre-clustered).
+    if cluster:
+        df = df.repartition(n_parts, *cluster)
+    elif size >= _CACHE_SPREAD_BYTES and df.rdd.getNumPartitions() < n_parts:
+        df = df.repartition(n_parts)
     df = df.cache()
     _TABLE_CACHE[key] = df
     return df

@@ -148,11 +148,38 @@ def signature_from_shingles(
         )
     if hash_mode == "md5":
         digests = ex.select("doc_id", F.md5("s").alias("dg"))
-        return digests.groupBy("doc_id").agg(
+        # Fixed-width numeric minima for the string windows: min over
+        # STRING columns has a variable-width agg buffer, which forces
+        # the SortAggregate fallback — a full sort of the exploded
+        # shingle table by doc_id on every signature build (the r12
+        # before-plans show Sort+SortAggregate pairs in dd04/dd14/
+        # pipe02). Each 16-hex-char window is a 64-bit value, and
+        # lexicographic order over equal-length lowercase hex IS
+        # numeric order, so min(decimal(20,0)) — an UnsafeRow-mutable
+        # buffer, codegen'd partial HashAggregate — computes the same
+        # winner, round-tripped back to the exact hex string after the
+        # final aggregation (conv is exact through 2^64-1; pinned by
+        # tests/test_properties round-trip + engine-parity checks).
+        mins = digests.groupBy("doc_id").agg(
             *[
-                F.min(F.substring("dg", o, _SLICE_LEN)).alias(f"h{j}")
+                F.min(
+                    F.conv(F.substring("dg", o, _SLICE_LEN), 16, 10).cast(
+                        "decimal(20,0)"
+                    )
+                ).alias(f"n{j}")
                 for j, o in enumerate(_SLICE_OFFSETS)
             ]
+        )
+        return mins.select(
+            "doc_id",
+            *[
+                F.lpad(
+                    F.lower(F.conv(F.col(f"n{j}").cast("string"), 10, 16)),
+                    _SLICE_LEN,
+                    "0",
+                ).alias(f"h{j}")
+                for j in range(NUM_MINHASH)
+            ],
         )
     raise ValueError(f"hash_mode must be 'xxhash64' or 'md5', got {hash_mode!r}")
 

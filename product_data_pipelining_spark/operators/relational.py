@@ -1098,39 +1098,41 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey") == F.col("c_custkey"),
         "left_semi",
     )
-    return (
+    # Aggregate the fact side BEFORE the orders join (guide §2.3
+    # "aggregate before you shuffle"): the per-order revenue sum is a
+    # pure BIGINT hash aggregate (exchange-free under the orderkey-
+    # clustered serving cache), and orderdate/orderpriority attach
+    # afterwards from the order-grain join — exactly the order's own
+    # values, so no string MIN() rides the aggregate buffer. The prior
+    # join-then-group form carried two string mins, whose variable-
+    # width buffer forces the SortAggregate fallback: the r12 before-
+    # plan shows Sort + 2x SortAggregate over the joined line stream;
+    # this shape is HashAggregate + the same size-aware join.
+    rev = (
         li.select(
             "l_orderkey",
             _scaled_long(
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("rev6"),
         )
-        .join(
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev6").alias("rev6"))
+    )
+    return (
+        rev.join(
             broadcast_or_shuffle_hash(o_building, o),
             F.col("l_orderkey") == F.col("o_orderkey"),
             "inner",
-        )
-        # group on the single BIGINT orderkey — orderdate/orderpriority
-        # are functionally dependent on it (one order, one value), so
-        # MIN() carries them exactly and deterministically while the
-        # aggregate hashes 8-byte keys instead of (bigint, formatted
-        # string, string) triples; date_format then runs once per ORDER
-        # (post-agg), not once per joined line row.
-        .groupBy("l_orderkey")
-        .agg(
-            F.sum("rev6").alias("rev6"),
-            F.min("o_orderdate").alias("_od"),
-            F.min("o_orderpriority").alias("orderpriority"),
         )
         .select(
             "l_orderkey",
             duck_round(F.col("rev6").cast("double") / F.lit(1e6), 2).alias(
                 "revenue"
             ),
-            F.date_format(F.col("_od").cast("date"), "yyyy-MM-dd").alias(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
                 "orderdate"
             ),
-            "orderpriority",
+            F.col("o_orderpriority").alias("orderpriority"),
         )
         .select("l_orderkey", "revenue", "orderdate", "orderpriority")
     )

@@ -90,20 +90,47 @@ _SQL_CENT_PRED = (
     f"vec_id % {CENT_STRIDE} = 7 AND vec_id < {CENT_STRIDE} * {_SQL_CENT_K}"
 )
 
-# one embeddings-count job per (SparkContext, sf_dir) — the count is a
-# parquet-footer metadata aggregate, but there is no reason to repeat it
-# for every query built in a session against immutable test dirs
+# one embeddings-stats job per (SparkContext, sf_dir) — count plus the
+# min/max vector width in a single aggregate; there is no reason to
+# repeat it for every query built in a session against immutable dirs
 _CORPUS_N_CACHE: dict = {}
+
+
+def _corpus_stats(spark: SparkSession, sf_dir: str) -> tuple:
+    """(row count, fixed dim | None) of the embeddings corpus, cached.
+
+    dim is the uniform vector width when every row agrees (the
+    embedding-model contract; true of every test SF), else None — the
+    signal for :func:`dot`/:func:`norm` to keep the ragged-safe HOF
+    form instead of an unrolled fixed-width chain.
+    """
+    key = (id(spark.sparkContext), sf_dir)
+    st = _CORPUS_N_CACHE.get(key)
+    if st is None:
+        row = (
+            load_table(spark, sf_dir, "embeddings")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.size("embedding")).alias("dmin"),
+                F.max(F.size("embedding")).alias("dmax"),
+            )
+            .head()
+        )
+        dim = int(row.dmin) if row.n and row.dmin == row.dmax else None
+        st = (int(row.n), dim)
+        _CORPUS_N_CACHE[key] = st
+    return st
 
 
 def corpus_size(spark: SparkSession, sf_dir: str) -> int:
     """Row count of the embeddings corpus (cached per context+dir)."""
-    key = (id(spark.sparkContext), sf_dir)
-    n = _CORPUS_N_CACHE.get(key)
-    if n is None:
-        n = load_table(spark, sf_dir, "embeddings").count()
-        _CORPUS_N_CACHE[key] = n
-    return n
+    return _corpus_stats(spark, sf_dir)[0]
+
+
+def emb_dim(spark: SparkSession, sf_dir: str) -> int | None:
+    """Uniform embedding width (None when ragged) — unlocks unrolled
+    codegen'd vector arithmetic in :func:`dot`/:func:`norm`."""
+    return _corpus_stats(spark, sf_dir)[1]
 
 
 def centroid_filter(spark: SparkSession, sf_dir: str) -> Column:
@@ -119,7 +146,18 @@ def _dbl(col: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Sequential double-precision dot product of two array columns."""
+    """Sequential double-precision dot product of two array columns.
+
+    Deliberately the HOF form, NOT an unrolled getItem chain: the r12
+    interleaved A/B re-confirmed the r8 finding — on the real pair
+    shapes (sim03 all-pairs 13.4 s vs 2.1 s, sim04 assignment 1.8 s vs
+    0.6 s, sim02 0.75 s vs 0.44 s, unrolled vs HOF) a 64-term chain
+    LOSES: the dot lands inside duck_round + a threshold filter, the
+    references multiply the chain, and the resulting giant generated
+    methods fall out of JIT compilation, degrading the whole stage.
+    Contrast :func:`norm`, where the unrolled form wins (evaluated
+    once per corpus row with a single downstream reference).
+    """
     return F.aggregate(
         F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -127,10 +165,28 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(_dbl(a), F.lit(0.0), lambda acc, v: acc + v * v)
-    )
+def norm(a: Column, dim: int | None = None) -> Column:
+    """Euclidean norm of an array column.
+
+    With ``dim`` (the fixed vector width, see :func:`emb_dim`) the fold
+    unrolls into an explicit chain with the SAME left-to-right
+    association and per-element double casts — bit-identical results —
+    but whole-stage-codegen'd instead of the interpreted
+    ``CodegenFallback`` HOF path. Unlike :func:`dot` this runs once per
+    CORPUS row (not per candidate pair) with exactly one downstream
+    reference, so the chain stays inside JIT limits: the r12
+    interleaved A/B measured 0.40 s vs 0.85 s (2.1x) over 100k rows.
+    Without ``dim`` (unknown/ragged width) the HOF form is kept.
+    """
+    if dim is None:
+        return F.sqrt(
+            F.aggregate(_dbl(a), F.lit(0.0), lambda acc, v: acc + v * v)
+        )
+    s: Column = F.lit(0.0)
+    for i in range(dim):
+        x = a.getItem(i).cast("double")
+        s = s + x * x
+    return F.sqrt(s)
 
 
 def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
@@ -180,7 +236,10 @@ def _with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one core (34s vs 3.4s for the all-pairs verify at sf0.1)
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), force=True)
     return emb.select(
-        "vec_id", "embedding", "label", norm(F.col("embedding")).alias("nrm")
+        "vec_id",
+        "embedding",
+        "label",
+        norm(F.col("embedding"), emb_dim(spark, sf_dir)).alias("nrm"),
     )
 
 
@@ -490,7 +549,12 @@ def sim02_ann_lsh_bucketed(
             F.col("vec_id").alias("neighbor_id"),
             "bucket",
             duck_round(
-                cosine(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")),
+                cosine(
+                    F.col("q_emb"),
+                    F.col("embedding"),
+                    F.col("q_nrm"),
+                    F.col("nrm"),
+                ),
                 4,
             ).alias("cosine_sim"),
         )
@@ -704,7 +768,12 @@ def sim04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("c_nrm"),
     )
     asg_sim = duck_round(
-        cosine(F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")),
+        cosine(
+            F.col("embedding"),
+            F.col("c_emb"),
+            F.col("nrm"),
+            F.col("c_nrm"),
+        ),
         6,
     )
     # Corpus assignment as a partial-combinable max-of-struct (a19's
@@ -808,7 +877,10 @@ def sim03_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     a = v.alias("a")
     b = v.alias("b")
     sim = cosine(
-        F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a.nrm"),
+        F.col("b.nrm"),
     )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
@@ -1484,11 +1556,17 @@ def sim06_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.posexplode(_pq_subvectors(F.col("embedding"))).alias("m", "sv"),
     )
-    l2 = F.aggregate(
-        F.zip_with(_dbl(F.col("sv")), _dbl(F.col("cv")), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, val: acc + val,
-    )
+    # unrolled PQ_SUB-term chain (same left fold as the HOF form, bit-
+    # identical): this runs once per (vector, subspace, codebook entry) —
+    # N x PQ_M x PQ_K rows — so keeping it inside whole-stage codegen
+    # instead of the interpreted aggregate/zip_with fallback matters
+    l2: Column = F.lit(0.0)
+    for _i in range(PQ_SUB):
+        _d = (
+            F.col("sv").getItem(_i).cast("double")
+            - F.col("cv").getItem(_i).cast("double")
+        )
+        l2 = l2 + _d * _d
     dist = sub_tbl.join(F.broadcast(cent_sub), "m").select(
         "vec_id", "m", "c", _scaled_long(l2).cast("long").alias("d6")
     )

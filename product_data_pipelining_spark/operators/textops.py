@@ -1137,12 +1137,18 @@ def tx16_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("doc_id", F.col("p.u").alias("u"), F.col("p.v").alias("v"))
     cuv = bg.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cnt"))
-    cu = cuv.groupBy("u").agg(F.sum("cnt").alias("tot"))
-    lp = cuv.join(F.broadcast(cu), "u").select(
+    # per-u totals as a window sum over the vocab²-bounded cuv instead of
+    # a groupBy + broadcast join: same exact integer totals, but ONE
+    # model-build job instead of two — the join form spawned a separate
+    # broadcast-build job for cu that re-ran the corpus tokenize+explode
+    # (guide §2.4: operations keyed the same way share one exchange; the
+    # window's exchange moves <= vocab² narrow rows)
+    tot = F.sum("cnt").over(Window.partitionBy("u"))
+    lp = cuv.select(
         "u",
         "v",
         _scaled_long(
-            F.log(F.col("cnt").cast("double") / F.col("tot").cast("double"))
+            F.log(F.col("cnt").cast("double") / tot.cast("double"))
         ).alias("d6"),
     )
     agg = (
