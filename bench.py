@@ -315,8 +315,7 @@ def main() -> None:
     duck_total = round(sum(duck_timings.values()), 3)
     spark_oracled = round(sum(timings[n] for n in duck_timings), 3)
     ratio = round(spark_oracled / duck_total, 3) if duck_total > 0 else None
-    print(
-        json.dumps(
+    line = json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
@@ -342,8 +341,26 @@ def main() -> None:
                 # a per-query delta as jitter vs regression (r11 ask #5)
                 "jitter_bands_artifact": "JITTER_SPREAD.json",
             }
-        )
     )
+    print(line)
+    # Mirror the same dict to a file (r12 verdict ask #3): the driver
+    # captures only the last 2000 chars of stdout, and round 11's JSON
+    # line outgrew that window — `BENCH_r11.json parsed: null` orphaned
+    # the whole round-over-round comparison. The mirror is written from
+    # the SAME string in the SAME run, so a truncated tail can always be
+    # reconciled from the committed file. Probes that re-drive bench.py
+    # at other SFs may point the mirror elsewhere (or at /dev/null-like
+    # "0" to disable) so they don't clobber the headline mirror.
+    mirror = os.environ.get(
+        "SPARK_GRAFT_BENCH_MIRROR",
+        str(Path(__file__).resolve().parent / "BENCH_LAST.json"),
+    )
+    if mirror not in ("", "0"):
+        try:
+            with open(mirror, "w") as f:
+                f.write(line + "\n")
+        except OSError as exc:  # a read-only checkout must not kill the bench
+            print(f"# bench mirror write failed: {exc}", file=sys.stderr)
     con.close()
     spark.stop()
 

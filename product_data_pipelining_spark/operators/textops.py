@@ -2,9 +2,14 @@
 
 Large-scale training-data pipeline surface (beyond the reference's own
 operators): token counting, quality scoring, language identification,
-and document fingerprinting. All hot-path logic is built-in
-``pyspark.sql.functions`` (JVM-side, whole-stage-codegen) — no Python
-UDFs — so the per-row cost is the same on 500 docs or 100 TB of them.
+and document fingerprinting. Hot-path logic is built-in
+``pyspark.sql.functions`` (JVM-side, whole-stage-codegen) — never
+row-at-a-time Python UDFs — with ONE sanctioned exception since r13:
+the shared tokenize+vocab-count featurization behind tx02/tx03/tx11
+runs as a single ``mapInArrow`` batch pass over ``pyarrow.compute``
+kernels (:func:`_arrow_token_counts`), measured 1.4× faster than the
+equivalent JVM expression chain at sf10 with bit-equal outputs
+(``scripts/exp_text_arrow.py``, ``EXP_TEXT_ARROW_SF10.json``).
 
 Cross-engine determinism notes (these queries carry DuckDB oracles):
 - ``md5`` produces identical hex in Spark and DuckDB → fingerprints match.
@@ -14,6 +19,8 @@ Cross-engine determinism notes (these queries carry DuckDB oracles):
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -44,6 +51,110 @@ def tokens(col: str | Column = "text") -> Column:
 def marker_score(toks: Column, markers: tuple[str, ...]) -> Column:
     """Count of tokens that appear in a fixed marker vocabulary."""
     return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+
+def _arrow_token_counts(
+    docs: DataFrame,
+    counts: dict[str, tuple[str, ...] | None],
+    passthrough: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Tokenize-and-count featurization as ONE ``mapInArrow`` batch pass.
+
+    The shared hot path behind tx02/tx03/tx11: split ``text`` on a
+    literal space and count, per document, the tokens matching each of
+    several fixed vocabularies (``counts`` maps an output column name to
+    its marker vocabulary; ``None`` means the plain non-empty word
+    count). The JVM expression chain (``size(filter(split(...)))`` per
+    vocabulary) re-walks the token array once per count; this pass
+    splits ONCE per batch with ``pyarrow.compute.split_pattern``, then
+    answers every count from the same flattened token buffer via an
+    ``is_in`` bitmask + cumulative-sum segment reduction — guide §4.2's
+    "hand whole batches to vectorized native libraries" move. Measured
+    (scripts/exp_text_arrow.py, 500k sf10 documents, outputs
+    equality-gated before timing): JVM 1.05 s vs Arrow 0.745 s median
+    (~1.4× faster); at sf0.1 both arms sit on the per-job floor.
+
+    Counts are exact integers — bit-identical to the JVM chain (the r12
+    experiment row-compared both arms over the full sf10 corpus) — so
+    oracle parity is untouched. Emitted count columns are INT, matching
+    ``F.size``'s type. ``passthrough`` columns ride the batch unchanged
+    (md5 fingerprints stay JVM-side: compute them BEFORE this pass and
+    list them here). Only ``passthrough + (text,)`` crosses the Python
+    boundary (guide §4.1: project before an opaque op — Spark cannot
+    prune through it).
+
+    ``SPARK_GRAFT_TEXT_ARROW=0`` falls back to the JVM expression chain
+    (the A/B switch used by the r13 measurements and an escape hatch for
+    Python-worker-less deployments); both paths produce identical frames.
+    """
+    if os.environ.get("SPARK_GRAFT_TEXT_ARROW", "1") == "0":
+        toks = tokens()
+        return docs.select(
+            *passthrough,
+            *[
+                (
+                    F.size(toks) if vocab is None
+                    else marker_score(toks, vocab)
+                ).alias(name)
+                for name, vocab in counts.items()
+            ],
+        )
+
+    schema = dict(zip(docs.schema.names, docs.schema.fields))
+    out_schema = ", ".join(
+        [f"{c} {schema[c].dataType.simpleString()}" for c in passthrough]
+        + [f"{name} INT" for name in counts]
+    )
+    # plain-python captures only: the closure is pickled by value, so
+    # workers never import this module (foreign-cwd drivers don't ship
+    # the repo onto executor PYTHONPATH)
+    pass_names = list(passthrough)
+    count_spec = [
+        (name, list(vocab) if vocab is not None else None)
+        for name, vocab in counts.items()
+    ]
+
+    def featurize(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        vocab_arrays = [
+            (name, pa.array(vocab) if vocab is not None else None)
+            for name, vocab in count_spec
+        ]
+        for batch in batches:
+            text = batch.column("text")
+            toks = pc.split_pattern(text, " ")
+            arr = (
+                toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray)
+                else toks
+            )
+            offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            flat = arr.values
+            lo, hi = offsets[:-1], offsets[1:]
+
+            def seg_count(mask_arr):
+                # per-document count of set bits: cumsum over the flat
+                # token mask, differenced at the list offsets
+                m = mask_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+                cs = np.concatenate(([0], np.cumsum(m)))
+                return (cs[hi] - cs[lo]).astype(np.int32)
+
+            cols = {n: batch.column(n) for n in pass_names}
+            for name, vs in vocab_arrays:
+                mask = (
+                    pc.not_equal(flat, "")
+                    if vs is None
+                    else pc.is_in(flat, value_set=vs)
+                )
+                cols[name] = pa.array(seg_count(mask), type=pa.int32())
+            yield pa.RecordBatch.from_pydict(cols)
+
+    return docs.select(*pass_names, "text").mapInArrow(featurize, out_schema)
 
 
 def _sql_tokens(expr: str = "text") -> str:
@@ -114,13 +225,12 @@ def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``relational.py``).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens()
-    feats = docs.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.size(toks).alias("word_count"),
-        marker_score(toks, STOPWORDS).alias("stopword_count"),
+    # one Arrow batch pass for both token counts (see _arrow_token_counts:
+    # split once, count from the shared flat token buffer — guide §4.2)
+    feats = _arrow_token_counts(
+        docs,
+        {"word_count": None, "stopword_count": STOPWORDS},
+        passthrough=("doc_id", "lang", "n_chars"),
     )
     stop_ratio = F.col("stopword_count").cast("double") / F.col("word_count")
     return feats.select(
@@ -168,14 +278,12 @@ def tx03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar expressions — at 100 TB this is a single narrow map stage.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens()
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        marker_score(toks, LANG_MARKERS["en"]).alias("s_en"),
-        marker_score(toks, LANG_MARKERS["de"]).alias("s_de"),
-        marker_score(toks, LANG_MARKERS["fr"]).alias("s_fr"),
-        marker_score(toks, LANG_MARKERS["es"]).alias("s_es"),
+    # one Arrow batch pass for all four marker scores (split once, four
+    # is_in bitmasks over the shared flat token buffer — guide §4.2)
+    scored = _arrow_token_counts(
+        docs,
+        {f"s_{lang}": LANG_MARKERS[lang] for lang in ("en", "de", "fr", "es")},
+        passthrough=("doc_id", "lang"),
     )
     s_en, s_de, s_fr, s_es = (F.col(c) for c in ("s_en", "s_de", "s_fr", "s_es"))
     predicted = (
@@ -594,16 +702,21 @@ def tx11_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``relational.py``).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens()
-    feats = docs.select(
-        "doc_id",
-        F.size(toks).alias("word_count"),
-        marker_score(toks, STOPWORDS).alias("stopword_count"),
-        marker_score(toks, LANG_MARKERS["en"]).alias("s_en"),
-        marker_score(toks, LANG_MARKERS["de"]).alias("s_de"),
-        marker_score(toks, LANG_MARKERS["fr"]).alias("s_fr"),
-        marker_score(toks, LANG_MARKERS["es"]).alias("s_es"),
-        F.md5("text").alias("content_fp"),
+    # all six token counts in one Arrow batch pass; the md5 fingerprint
+    # stays a JVM column computed BEFORE the pass and rides the batch as
+    # a passthrough (pyarrow has no md5 kernel, and the oracle pins the
+    # exact hex)
+    feats = _arrow_token_counts(
+        docs.select("doc_id", F.md5("text").alias("content_fp"), "text"),
+        {
+            "word_count": None,
+            "stopword_count": STOPWORDS,
+            "s_en": LANG_MARKERS["en"],
+            "s_de": LANG_MARKERS["de"],
+            "s_fr": LANG_MARKERS["fr"],
+            "s_es": LANG_MARKERS["es"],
+        },
+        passthrough=("doc_id", "content_fp"),
     )
     s_en, s_de, s_fr, s_es = (
         F.col(c) for c in ("s_en", "s_de", "s_fr", "s_es")

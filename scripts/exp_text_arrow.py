@@ -12,8 +12,12 @@ plans) encodes the r2–r3 finding that the Python boundary LOST; this
 experiment re-tests with Arrow batches and vectorized kernels instead
 of the r2-era row path.
 
-Method: same process, alternating arms (JVM first), N reps each, noop
-sink, median reported; both arms project only (doc_id, text) before
+Method: same process, alternating arms, N reps each, noop sink,
+statistics.median reported. Which arm leads alternates with the rep
+index (even reps JVM-first, odd reps Arrow-first) so neither arm
+systematically inherits the other's cache/GC shadow — the r12 run used
+a fixed JVM-first order, which the round-12 ADVICE flagged as a mild
+bias; both arms project only (doc_id, text) before
 the featurization and compute IDENTICAL outputs (word_count,
 stopword_count, 4 language-marker scores), verified row-equal before
 timing. md5 fingerprinting is excluded from both arms (it stays JVM
@@ -27,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -37,6 +42,8 @@ sys.path.insert(0, str(REPO))
 import numpy as np  # noqa: E402
 import pyarrow as pa  # noqa: E402
 import pyarrow.compute as pc  # noqa: E402
+
+from _provenance import provenance  # noqa: E402
 
 from product_data_pipelining_spark.io import load_table  # noqa: E402
 from product_data_pipelining_spark.session import get_spark  # noqa: E402
@@ -134,15 +141,18 @@ def main() -> None:
         noop(df)
 
     t = {"jvm": [], "arrow": []}
-    for _ in range(args.reps):
-        for name, df in (("jvm", a), ("arrow", b)):
+    arms = (("jvm", a), ("arrow", b))
+    for rep in range(args.reps):
+        # alternate the leading arm per rep (see module docstring)
+        order = arms if rep % 2 == 0 else arms[::-1]
+        for name, df in order:
             spark.sparkContext.setJobDescription(f"exp_text_arrow:{name}")
             t0 = time.monotonic()
             noop(df)
             t[name].append(round(time.monotonic() - t0, 3))
     spark.sparkContext.setJobDescription(None)
 
-    med = {k: sorted(v)[len(v) // 2] for k, v in t.items()}
+    med = {k: round(statistics.median(v), 3) for k, v in t.items()}
     print(
         json.dumps(
             {
@@ -154,6 +164,7 @@ def main() -> None:
                 "median_sec": med,
                 "arrow_over_jvm": round(med["arrow"] / med["jvm"], 3),
                 "outputs_equal": True,
+                "provenance": provenance(),
             }
         )
     )

@@ -83,10 +83,21 @@ ARROW_ALLOWED = {
     # kernel at nprobe=1 — codebook-bounded collect, mapInPandas BLAS,
     # narrow (vec_id, cluster_id) output
     "sim05_kmeans_assign",
+    # r13: the shared tokenize+vocab-count featurization is ONE
+    # mapInArrow batch pass (pyarrow.compute split + is_in + cumsum
+    # segment counts) — measured 1.4x over the JVM expression chain on
+    # 500k sf10 documents with bit-equal outputs
+    # (scripts/exp_text_arrow.py); md5 fingerprints stay JVM-side
+    "tx02_quality_score",
+    "tx03_language_id",
+    "tx11_corpus_filter_pipeline",
 }
 
+# NOTE: MapInArrow is matched as a Python-boundary node too (r13) — it
+# was absent from the original pattern only because no query used it.
 ARROW_NODES = re.compile(
-    r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas"
+    r"ArrowEvalPython|MapInArrow|MapInPandas|FlatMapGroupsInPandas"
+    r"|FlatMapCoGroupsInPandas"
 )
 
 

@@ -20,6 +20,7 @@ from product_data_pipelining_spark.plans.inspect import (
     exchange_count,
     has_partial_aggregation,
     join_kinds,
+    physical_plan,
     scans,
 )
 from product_data_pipelining_spark.registry import all_queries
@@ -634,6 +635,33 @@ def test_corpus_pipeline_single_shuffle(spark, sf_dir):
     content-fingerprint window for canonical-keeper dedup."""
     df = QUERIES["tx11_corpus_filter_pipeline"].fn(spark, sf_dir)
     assert exchange_count(df) == 1
+
+
+def test_text_arrow_featurization_matches_jvm_twin(spark, sf_dir, monkeypatch):
+    """r13: tx02/tx03/tx11's shared tokenize+vocab-count featurization is
+    ONE mapInArrow batch pass (pyarrow split + is_in + cumsum segment
+    counts); SPARK_GRAFT_TEXT_ARROW=0 keeps the JVM expression chain as
+    the bit-exact fallback twin. Pin both halves: the default plan
+    carries the MapInArrow node (and never a row-at-a-time
+    BatchEvalPython), and the two arms produce identical frames —
+    values AND schema."""
+    for name in (
+        "tx02_quality_score",
+        "tx03_language_id",
+        "tx11_corpus_filter_pipeline",
+    ):
+        monkeypatch.delenv("SPARK_GRAFT_TEXT_ARROW", raising=False)
+        arrow_df = QUERIES[name].fn(spark, sf_dir)
+        plan = physical_plan(arrow_df)
+        assert "MapInArrow" in plan, name
+        assert "BatchEvalPython" not in plan, name
+        monkeypatch.setenv("SPARK_GRAFT_TEXT_ARROW", "0")
+        jvm_df = QUERIES[name].fn(spark, sf_dir)
+        assert "MapInArrow" not in physical_plan(jvm_df), name
+        assert arrow_df.dtypes == jvm_df.dtypes, name
+        a = {tuple(r) for r in arrow_df.collect()}
+        b = {tuple(r) for r in jvm_df.collect()}
+        assert a == b, name
 
 
 def test_runtime_bloom_filter_injects_on_selective_big_join(spark, sf_dir):
