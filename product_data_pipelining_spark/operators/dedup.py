@@ -97,7 +97,6 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 32-char hex digest.
 _SLICE_LEN = 16
 _SLICE_OFFSETS = tuple(1 + 2 * j for j in range(NUM_MINHASH))
-_MIN_INIT = "g" * _SLICE_LEN  # 'g' > 'f': greater than any hex slice
 
 
 def shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,38 +147,36 @@ def signature_from_shingles(
         )
     if hash_mode == "md5":
         digests = ex.select("doc_id", F.md5("s").alias("dg"))
-        # Fixed-width numeric minima for the string windows: min over
-        # STRING columns has a variable-width agg buffer, which forces
-        # the SortAggregate fallback — a full sort of the exploded
-        # shingle table by doc_id on every signature build (the r12
-        # before-plans show Sort+SortAggregate pairs in dd04/dd14/
-        # pipe02). Each 16-hex-char window is a 64-bit value, and
-        # lexicographic order over equal-length lowercase hex IS
-        # numeric order, so min(decimal(20,0)) — an UnsafeRow-mutable
-        # buffer, codegen'd partial HashAggregate — computes the same
-        # winner, round-tripped back to the exact hex string after the
-        # final aggregation (conv is exact through 2^64-1; pinned by
-        # tests/test_properties round-trip + engine-parity checks).
-        mins = digests.groupBy("doc_id").agg(
+        # String minima over the raw hex windows — the MEASURED winner,
+        # restored in r13 after the r12 numeric-min experiment lost at
+        # scale. History, so no round re-pays either experiment:
+        # - r12 replaced these string mins with
+        #   min(conv(window,16,10)::decimal(20,0)) + hex round-trip, on
+        #   the plan-shape argument that min-over-STRING's variable-
+        #   width agg buffer forces the SortAggregate fallback (a sort
+        #   of the exploded shingle table) while the numeric form rides
+        #   the codegen'd partial HashAggregate. At sf0.1 the change
+        #   measured flat (inside jitter); the sf5 support came from
+        #   adjacent-process legs whose DuckDB baseline itself drifted
+        #   330->246 s.
+        # - r13 A/B'd both arms in ONE process at sf10 with alternating
+        #   reps and plan-sanity checks (scripts/r13_minhash_ab.py,
+        #   BENCH_R13_MINHASH_AB_SF10/SF01.json): the numeric arm is
+        #   2.50x SLOWER on the pure signature build (dd03 2.24 vs
+        #   5.61 s) and 1.47x slower on dd14 at sf10, a tie on
+        #   dd04/pipe02 where LSH work dominates — and the gap GROWS
+        #   with scale (dd03 1.37x at sf0.1 -> 2.50x at sf10): eight
+        #   conv() string parses + decimal(20,0) buffers per exploded
+        #   shingle cost more than the sort they remove, and scale
+        #   amplifies the linear parse term faster than the sort's log
+        #   factor. SortAggregate over doc_id-clustered shingles is
+        #   cheap precisely because shingle_arrays pre-partitions by
+        #   doc_id (mostly-sorted runs, spillable).
+        return digests.groupBy("doc_id").agg(
             *[
-                F.min(
-                    F.conv(F.substring("dg", o, _SLICE_LEN), 16, 10).cast(
-                        "decimal(20,0)"
-                    )
-                ).alias(f"n{j}")
+                F.min(F.substring("dg", o, _SLICE_LEN)).alias(f"h{j}")
                 for j, o in enumerate(_SLICE_OFFSETS)
             ]
-        )
-        return mins.select(
-            "doc_id",
-            *[
-                F.lpad(
-                    F.lower(F.conv(F.col(f"n{j}").cast("string"), 10, 16)),
-                    _SLICE_LEN,
-                    "0",
-                ).alias(f"h{j}")
-                for j in range(NUM_MINHASH)
-            ],
         )
     raise ValueError(f"hash_mode must be 'xxhash64' or 'md5', got {hash_mode!r}")
 

@@ -1570,33 +1570,69 @@ def sim06_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = sub_tbl.join(F.broadcast(cent_sub), "m").select(
         "vec_id", "m", "c", _scaled_long(l2).cast("long").alias("d6")
     )
-    # ENCODE: argmin per (vec, subspace). (d6, c) packs into one BIGINT
+    # ENCODE, wide (r13): argmin per (vec, subspace), all PQ_M subspaces
+    # folded into ONE row per vector in a single aggregation over the
+    # N x PQ_M x PQ_K candidate table. (d6, c) packs into one BIGINT
     # (d6 <= 4e6 on the grid — unit subvectors bound L2² by 4 — so
-    # d6*K+c is exact): a plain long MIN hash-aggregates (a min-of-
-    # STRUCT falls back to SortAggregate — a sort of the N x K
-    # candidate table), with the same smallest-d6-then-smallest-c
-    # tiebreak. Identical integer arithmetic on both engines.
-    enc = (
-        dist.groupBy("vec_id", "m")
-        .agg(F.min(F.col("d6") * PQ_K + F.col("c")).alias("pc"))
-        .select(
-            "vec_id", "m", (F.col("pc") % PQ_K).cast("int").alias("code")
-        )
+    # d6*K+c is exact); min(when(m=j, ...)) per subspace hash-aggregates
+    # with partial map-side combine (min ignores the nulls of other
+    # subspaces), with the same smallest-d6-then-smallest-c tiebreak.
+    # Identical integer arithmetic on both engines. vs the r12 shape
+    # (groupBy(vec_id, m) THEN a (m, code)=(m, c) broadcast join THEN
+    # groupBy(query_id, vec_id) sum): this removes the N x PQ_M-row
+    # exchange AND the N x PQ_M x |q|-row join+hash-aggregate — the two
+    # biggest intermediates in the whole query (2e9 joined rows at sf10).
+    enc_wide = dist.groupBy("vec_id").agg(
+        *[
+            (
+                F.min(
+                    F.when(
+                        F.col("m") == j, F.col("d6") * PQ_K + F.col("c")
+                    )
+                )
+                % PQ_K
+            )
+            .cast("int")
+            .alias(f"c{j}")
+            for j in range(PQ_M)
+        ]
     )
+    # per-query LUT as ONE array of PQ_M*PQ_K d6 longs indexed m*K+c
+    # (array_sort over unique BIGINT keys is deterministic); bounded by
+    # construction at PQ_MAX_QUERIES rows — broadcastable at any corpus
+    # size, exactly like the codebook it derives from
     lut = dist.filter(
         (F.col("vec_id") % QUERY_STRIDE == 0)
         & (F.col("vec_id") < QUERY_STRIDE * PQ_MAX_QUERIES)
     ).select(F.col("vec_id").alias("query_id"), "m", "c", "d6")
-    scored = (
-        enc.join(
-            F.broadcast(lut),
-            (enc.m == lut.m)
-            & (enc.code == lut.c)
-            & (enc.vec_id != lut.query_id),
-        )
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("d6").alias("s6"))
+    lut_wide = lut.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("m") * PQ_K + F.col("c")).alias("i"),
+                        F.col("d6").alias("d"),
+                    )
+                )
+            ),
+            lambda s: s.getField("d"),
+        ).alias("lut")
     )
+    # ADC score = PQ_M O(1) array lookups summed in a codegen'd
+    # projection (exact BIGINT adds — the same integers the r12 shape
+    # summed in its aggregate, in a fixed fold order). The join is a
+    # BroadcastNestedLoopJoin against the bounded query LUT — the
+    # |corpus| x |queries| scored-candidate table is the exhaustive-ADC
+    # CONTRACT (IndexPQ scans every candidate per query), not a blowup:
+    # the r12 shape produced the same rows through its final aggregate.
+    joined = enc_wide.join(
+        F.broadcast(lut_wide),
+        enc_wide.vec_id != lut_wide.query_id,
+    )
+    s6: Column = F.lit(0).cast("long")
+    for j in range(PQ_M):
+        s6 = s6 + F.get(F.col("lut"), F.col(f"c{j}") + j * PQ_K)
+    scored = joined.select("query_id", "vec_id", s6.alias("s6"))
     w = Window.partitionBy("query_id").orderBy(
         F.asc("s6"), F.asc("vec_id")
     )

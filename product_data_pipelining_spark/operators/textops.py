@@ -6,10 +6,12 @@ and document fingerprinting. Hot-path logic is built-in
 ``pyspark.sql.functions`` (JVM-side, whole-stage-codegen) — never
 row-at-a-time Python UDFs — with ONE sanctioned exception since r13:
 the shared tokenize+vocab-count featurization behind tx02/tx03/tx11
-runs as a single ``mapInArrow`` batch pass over ``pyarrow.compute``
-kernels (:func:`_arrow_token_counts`), measured 1.4× faster than the
-equivalent JVM expression chain at sf10 with bit-equal outputs
-(``scripts/exp_text_arrow.py``, ``EXP_TEXT_ARROW_SF10.json``).
+can run as a single ``mapInArrow`` batch pass over ``pyarrow.compute``
+kernels (:func:`_arrow_token_counts`), dispatched by measured corpus
+size and vocabulary-pass count (Arrow wins 0.69–0.81× at sf10 for the
+4-/6-count shapes with bit-equal outputs; the JVM chain stays cheaper
+below the crossover — ``EXP_TEXT_ARROW_SF10.json``,
+``BENCH_R13_TEXT_AB_SF10.json`` / ``..._SF01.json``).
 
 Cross-engine determinism notes (these queries carry DuckDB oracles):
 - ``md5`` produces identical hex in Spark and DuckDB → fingerprints match.
@@ -53,41 +55,87 @@ def marker_score(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda x: x.isin(*markers)))
 
 
+# Measured dispatch bounds for the Arrow featurization (see
+# _arrow_token_counts): the Python boundary costs a fixed ~0.15 s per
+# job locally (worker round-trip + Arrow transpose), repaid by the
+# split-once batch kernels only when BOTH hold —
+# - enough vocabulary passes share the one split (tx02's 2-count shape
+#   measured 1.35x SLOWER at sf10 even at 500k docs; the 4- and 6-count
+#   shapes win 0.81x / 0.69x there: BENCH_R13_TEXT_AB_SF10.json), and
+# - enough rows amortize the fixed cost (all shapes lose 1.5-3x at
+#   sf0.1's 5k docs: BENCH_R13_TEXT_AB_SF01.json; the sf1/sf5 legs
+#   bracket the 4-count crossover between 50k docs / 4.3 MB — tx03
+#   still 1.25x there — and 250k docs / 21 MB — tx03 0.67x; the
+#   6-count tx11 crosses earlier, 0.77x already at sf1).
+# At the 100 TB design point both bounds are trivially cleared; they
+# exist so small interactive corpora keep the cheaper JVM plan — the
+# same input-size dispatch as io.parallelize_scan's _MIN_HEAL_BYTES.
+_TEXT_ARROW_MIN_COUNTS = 4
+_TEXT_ARROW_MIN_BYTES = 16 * 1024 * 1024
+
+
 def _arrow_token_counts(
     docs: DataFrame,
     counts: dict[str, tuple[str, ...] | None],
     passthrough: tuple[str, ...] = ("doc_id",),
+    sf_dir: str | None = None,
 ) -> DataFrame:
-    """Tokenize-and-count featurization as ONE ``mapInArrow`` batch pass.
+    """Tokenize-and-count featurization: ONE ``mapInArrow`` batch pass
+    when the corpus is big enough to pay the Python boundary, the JVM
+    expression chain otherwise.
 
     The shared hot path behind tx02/tx03/tx11: split ``text`` on a
     literal space and count, per document, the tokens matching each of
     several fixed vocabularies (``counts`` maps an output column name to
     its marker vocabulary; ``None`` means the plain non-empty word
     count). The JVM expression chain (``size(filter(split(...)))`` per
-    vocabulary) re-walks the token array once per count; this pass
+    vocabulary) re-walks the token array once per count; the Arrow pass
     splits ONCE per batch with ``pyarrow.compute.split_pattern``, then
     answers every count from the same flattened token buffer via an
     ``is_in`` bitmask + cumulative-sum segment reduction — guide §4.2's
-    "hand whole batches to vectorized native libraries" move. Measured
-    (scripts/exp_text_arrow.py, 500k sf10 documents, outputs
-    equality-gated before timing): JVM 1.05 s vs Arrow 0.745 s median
-    (~1.4× faster); at sf0.1 both arms sit on the per-job floor.
+    "hand whole batches to vectorized native libraries" move.
 
-    Counts are exact integers — bit-identical to the JVM chain (the r12
-    experiment row-compared both arms over the full sf10 corpus) — so
-    oracle parity is untouched. Emitted count columns are INT, matching
-    ``F.size``'s type. ``passthrough`` columns ride the batch unchanged
-    (md5 fingerprints stay JVM-side: compute them BEFORE this pass and
-    list them here). Only ``passthrough + (text,)`` crosses the Python
-    boundary (guide §4.1: project before an opaque op — Spark cannot
-    prune through it).
+    Measured (one process, alternating arms, bench posture —
+    BENCH_R13_TEXT_AB_SF10/SF01.json; isolated featurization kernel in
+    EXP_TEXT_ARROW_SF10.json): the Arrow arm wins at sf10 for the
+    multi-vocabulary shapes (tx11 0.69x, tx03 0.81x; isolated kernel
+    0.78x over 500k docs) and loses everywhere the fixed per-job
+    boundary cost dominates (all shapes at sf0.1; tx02's 2-count shape
+    even at sf10). Dispatch is therefore data-sized, not hardcoded:
+    Arrow iff ``len(counts) >= _TEXT_ARROW_MIN_COUNTS`` and the
+    documents table is at least ``_TEXT_ARROW_MIN_BYTES`` on disk.
+    ``SPARK_GRAFT_TEXT_ARROW=1`` forces the Arrow arm, ``=0`` forces
+    the JVM arm (the A/B switch; also the escape hatch for
+    Python-worker-less deployments).
 
-    ``SPARK_GRAFT_TEXT_ARROW=0`` falls back to the JVM expression chain
-    (the A/B switch used by the r13 measurements and an escape hatch for
-    Python-worker-less deployments); both paths produce identical frames.
+    Counts are exact integers — bit-identical between the arms (pinned
+    frame-equal by test_text_arrow_featurization_matches_jvm_twin, and
+    row-compared over the full sf10 corpus by exp_text_arrow.py) — so
+    oracle parity does not depend on the dispatch. Emitted count
+    columns are INT, matching ``F.size``'s type. ``passthrough``
+    columns ride the batch unchanged (md5 fingerprints stay JVM-side:
+    compute them BEFORE this pass and list them here). Only
+    ``passthrough + (text,)`` crosses the Python boundary (guide §4.1:
+    project before an opaque op — Spark cannot prune through it).
     """
-    if os.environ.get("SPARK_GRAFT_TEXT_ARROW", "1") == "0":
+    forced = os.environ.get("SPARK_GRAFT_TEXT_ARROW")
+    if forced == "1":
+        use_arrow = True
+    elif forced == "0":
+        use_arrow = False
+    else:
+        from ..io import _table_bytes
+
+        table_bytes = (
+            _table_bytes(os.path.join(sf_dir, "documents.parquet"))
+            if sf_dir
+            else 0
+        )
+        use_arrow = (
+            len(counts) >= _TEXT_ARROW_MIN_COUNTS
+            and table_bytes >= _TEXT_ARROW_MIN_BYTES
+        )
+    if not use_arrow:
         toks = tokens()
         return docs.select(
             *passthrough,
@@ -225,12 +273,15 @@ def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``relational.py``).
     """
     docs = load_table(spark, sf_dir, "documents")
-    # one Arrow batch pass for both token counts (see _arrow_token_counts:
-    # split once, count from the shared flat token buffer — guide §4.2)
+    # shared featurization helper; the 2-count shape stays on the JVM
+    # chain under auto-dispatch (counts < _TEXT_ARROW_MIN_COUNTS: the
+    # Arrow arm measured 1.35x SLOWER even at sf10 — too few vocabulary
+    # passes share the one split to repay the Python boundary)
     feats = _arrow_token_counts(
         docs,
         {"word_count": None, "stopword_count": STOPWORDS},
         passthrough=("doc_id", "lang", "n_chars"),
+        sf_dir=sf_dir,
     )
     stop_ratio = F.col("stopword_count").cast("double") / F.col("word_count")
     return feats.select(
@@ -278,12 +329,14 @@ def tx03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar expressions — at 100 TB this is a single narrow map stage.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # one Arrow batch pass for all four marker scores (split once, four
-    # is_in bitmasks over the shared flat token buffer — guide §4.2)
+    # all four marker scores in one featurization pass; auto-dispatch
+    # plans the Arrow batch form on big corpora (measured 0.81x at
+    # sf10), the JVM chain on small ones — see _arrow_token_counts
     scored = _arrow_token_counts(
         docs,
         {f"s_{lang}": LANG_MARKERS[lang] for lang in ("en", "de", "fr", "es")},
         passthrough=("doc_id", "lang"),
+        sf_dir=sf_dir,
     )
     s_en, s_de, s_fr, s_es = (F.col(c) for c in ("s_en", "s_de", "s_fr", "s_es"))
     predicted = (
@@ -702,9 +755,11 @@ def tx11_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``relational.py``).
     """
     docs = load_table(spark, sf_dir, "documents")
-    # all six token counts in one Arrow batch pass; the md5 fingerprint
-    # stays a JVM column computed BEFORE the pass and rides the batch as
-    # a passthrough (pyarrow has no md5 kernel, and the oracle pins the
+    # all six token counts in one featurization pass (Arrow batch form
+    # on big corpora — measured 0.69x at sf10 — JVM chain on small
+    # ones, see _arrow_token_counts); the md5 fingerprint stays a JVM
+    # column computed BEFORE the pass and rides the batch as a
+    # passthrough (pyarrow has no md5 kernel, and the oracle pins the
     # exact hex)
     feats = _arrow_token_counts(
         docs.select("doc_id", F.md5("text").alias("content_fp"), "text"),
@@ -717,6 +772,7 @@ def tx11_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_es": LANG_MARKERS["es"],
         },
         passthrough=("doc_id", "content_fp"),
+        sf_dir=sf_dir,
     )
     s_en, s_de, s_fr, s_es = (
         F.col(c) for c in ("s_en", "s_de", "s_fr", "s_es")

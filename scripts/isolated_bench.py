@@ -58,7 +58,8 @@ def main() -> None:
         "isolation": "one fresh JVM + DuckDB per query",
     }
     for name in names:
-        env = dict(os.environ, SPARK_GRAFT_ONLY=name)
+        env = dict(os.environ, SPARK_GRAFT_ONLY=name,
+                   SPARK_GRAFT_BENCH_MIRROR="0")
         proc = subprocess.run(
             [sys.executable, str(REPO / "bench.py")],
             env=env, capture_output=True, text=True,

@@ -35,9 +35,12 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "scripts"))
 
-# bench posture (mirrors bench.py's env defaults)
+# bench posture (mirrors bench.py's env defaults) EXCEPT the plan
+# cache: it memoizes per (app, sf_dir, name), so with it on the second
+# arm would silently reuse the first arm's plans and the A/B would
+# compare an arm against itself (caught by the plan-sanity block below)
 os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
-os.environ.setdefault("SPARK_GRAFT_PLAN_CACHE", "1")
+os.environ["SPARK_GRAFT_PLAN_CACHE"] = "0"
 os.environ.setdefault("SPARK_GRAFT_AQE", "0")
 
 from _provenance import provenance  # noqa: E402
@@ -89,6 +92,15 @@ def main() -> None:
         os.environ["SPARK_GRAFT_TEXT_ARROW"] = "1"
         dfs[(name, "arrow")] = specs[name].fn(spark, args.dir)
     os.environ.pop("SPARK_GRAFT_TEXT_ARROW", None)
+
+    # plan sanity: the arrow arm must actually plan MapInArrow and the
+    # jvm arm must not — otherwise the A/B compares an arm to itself
+    for name in QUERIES:
+        pj = dfs[(name, "jvm")]._jdf.queryExecution().executedPlan().toString()
+        pa = dfs[(name, "arrow")]._jdf.queryExecution().executedPlan().toString()
+        assert "MapInArrow" in pa and "MapInArrow" not in pj, (
+            f"{name}: arms did not plan differently (plan cache on?)"
+        )
 
     rows = {k: dfs[k].count() for k in dfs}
     mismatched = [

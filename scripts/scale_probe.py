@@ -49,7 +49,9 @@ def write_artifact(out_path: Path, artifact: dict) -> None:
 
 
 def run_bench(sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    # probe legs must not clobber the headline-run BENCH_LAST.json mirror
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_BENCH_MIRROR="0")
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=env, capture_output=True, text=True, check=True,

@@ -52,6 +52,13 @@ BNLJ_ALLOWED = {
     # sim05 left this list in r10: its crossJoin assignment became the
     # broadcast-codebook GEMM kernel (see ARROW_ALLOWED)
     "chk02_outlier_zscore",            # 3-row broadcast moment re-scan
+    # r13: sim06's ADC scoring joins the corpus codes against the
+    # PQ_MAX_QUERIES-row wide query LUT (bounded by construction:
+    # queries x PQ_M x PQ_K distance entries packed into one array per
+    # query). The |corpus| x |queries| output is exhaustive-ADC's
+    # contract (IndexPQ scans every candidate), not a blowup — the r12
+    # shape produced the same rows through its final aggregate.
+    "sim06_pq_adc",
     # documented quadratic BASELINES: the oracle-exact reference twins of
     # the bucketed scale paths (sim02/dd04 cover the 100 TB shape); both
     # broadcast a vocabulary-/corpus-bounded relation, never a fact table

@@ -638,10 +638,11 @@ def test_corpus_pipeline_single_shuffle(spark, sf_dir):
 
 
 def test_text_arrow_featurization_matches_jvm_twin(spark, sf_dir, monkeypatch):
-    """r13: tx02/tx03/tx11's shared tokenize+vocab-count featurization is
-    ONE mapInArrow batch pass (pyarrow split + is_in + cumsum segment
-    counts); SPARK_GRAFT_TEXT_ARROW=0 keeps the JVM expression chain as
-    the bit-exact fallback twin. Pin both halves: the default plan
+    """r13: tx02/tx03/tx11's shared tokenize+vocab-count featurization
+    has two arms — a mapInArrow batch pass (pyarrow split + is_in +
+    cumsum segment counts) and the JVM expression chain — dispatched by
+    measured corpus size / vocabulary-pass count, forceable either way
+    via SPARK_GRAFT_TEXT_ARROW. Pin both halves: the forced-Arrow plan
     carries the MapInArrow node (and never a row-at-a-time
     BatchEvalPython), and the two arms produce identical frames —
     values AND schema."""
@@ -650,7 +651,7 @@ def test_text_arrow_featurization_matches_jvm_twin(spark, sf_dir, monkeypatch):
         "tx03_language_id",
         "tx11_corpus_filter_pipeline",
     ):
-        monkeypatch.delenv("SPARK_GRAFT_TEXT_ARROW", raising=False)
+        monkeypatch.setenv("SPARK_GRAFT_TEXT_ARROW", "1")
         arrow_df = QUERIES[name].fn(spark, sf_dir)
         plan = physical_plan(arrow_df)
         assert "MapInArrow" in plan, name
@@ -662,6 +663,35 @@ def test_text_arrow_featurization_matches_jvm_twin(spark, sf_dir, monkeypatch):
         a = {tuple(r) for r in arrow_df.collect()}
         b = {tuple(r) for r in jvm_df.collect()}
         assert a == b, name
+
+
+def test_text_arrow_dispatch_is_data_sized(spark, sf_dir, monkeypatch):
+    """The Arrow arm only plans when the measured crossover conditions
+    hold: >= _TEXT_ARROW_MIN_COUNTS vocabulary passes AND a documents
+    table of >= _TEXT_ARROW_MIN_BYTES on disk. Pin both bounds: on the
+    tiny test SF auto dispatch keeps every text query on the JVM chain,
+    and with the size bound lifted the counts bound still keeps the
+    2-count tx02 shape JVM while 6-count tx11 goes Arrow."""
+    from product_data_pipelining_spark.operators import textops
+
+    monkeypatch.delenv("SPARK_GRAFT_TEXT_ARROW", raising=False)
+    for name in (
+        "tx02_quality_score",
+        "tx03_language_id",
+        "tx11_corpus_filter_pipeline",
+    ):
+        assert "MapInArrow" not in physical_plan(
+            QUERIES[name].fn(spark, sf_dir)
+        ), f"{name}: Arrow planned below the size crossover"
+    # above the size bound, the counts bound still keeps tx02 (2 counts)
+    # on the JVM chain while tx11 (6 counts) goes Arrow
+    monkeypatch.setattr(textops, "_TEXT_ARROW_MIN_BYTES", 0)
+    assert "MapInArrow" not in physical_plan(
+        QUERIES["tx02_quality_score"].fn(spark, sf_dir)
+    )
+    assert "MapInArrow" in physical_plan(
+        QUERIES["tx11_corpus_filter_pipeline"].fn(spark, sf_dir)
+    )
 
 
 def test_runtime_bloom_filter_injects_on_selective_big_join(spark, sf_dir):
